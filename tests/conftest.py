@@ -1,0 +1,59 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+Multi-device sharding logic is validated the standard JAX way (SURVEY.md §4):
+a host-platform mesh via ``--xla_force_host_platform_device_count=8``.
+Benchmarks (bench.py) run on the real TPU and do NOT use this.
+
+The environment pre-registers a TPU PJRT plugin via a sitecustomize on
+PYTHONPATH *before* pytest starts, which eagerly pins the default backend to
+the (single) TPU chip. To keep the suite hermetic, fast, and mesh-capable we
+re-exec pytest once with the plugin path stripped and JAX_PLATFORMS=cpu.
+The re-exec happens in pytest_configure (after stopping fd capture so the
+child's output reaches the terminal).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_MARK = "_FR_TPU_TEST_REEXEC"
+
+
+def _needs_reexec() -> bool:
+    if os.environ.get(_MARK):
+        return False
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        return True
+    if ".axon_site" in os.environ.get("PYTHONPATH", ""):
+        return True
+    return False
+
+
+def pytest_configure(config):
+    if not _needs_reexec():
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    env = dict(os.environ)
+    env[_MARK] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    extra = [
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p
+    ]
+    env["PYTHONPATH"] = os.pathsep.join([repo_root] + extra)
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    args = list(config.invocation_params.args)
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + args, env)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
