@@ -1,0 +1,303 @@
+"""Batched geometry stage (reference: renderer.rs:96-267).
+
+TPU-first translation of the per-triangle scalar pipeline:
+
+- The vertex shader runs over the whole index buffer at once (vmap; an MVP
+  transform inside it becomes one batched MXU matmul), replacing the
+  3-at-a-time closure calls (renderer.rs:115-121).
+- Clipping keeps the reference's exact (quirky) semantics — intersections
+  added per (vertex pair × plane) with all originals retained, NOT
+  Sutherland–Hodgman (renderer.rs:150-174) — but as **fixed-shape masked
+  arrays**: ≤ 3 pairs × 6 planes + 3 originals = 21 candidate slots, a
+  masked stable sort by centroid angle (renderer.rs:205-218), and a fan
+  triangulation into ≤ 19 output slots (renderer.rs:237-266).
+- Two-path execution: faces fully inside the frustum (the vast majority)
+  skip the sort entirely and emit one triangle each — output-equivalent
+  because the pipeline below is invariant under cyclic vertex rotation and
+  the winding repair (renderer.rs:300-312) normalizes orientation. Clipped
+  faces are compacted into a small fixed-capacity buffer (``clip_cap``) and
+  only those run the 21-slot path.
+
+Plane order matches PLANE_LIST (renderer.rs:123-131): X_LEFT, X_RIGHT,
+Y_UP, Y_DOWN, Z_NEAR, Z_FAR; Z_NEAR tests ``z >= 0`` (quirk, renderer.rs:55).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from f_renderer_tpu.pipeline.types import TriangleBuffer
+from f_renderer_tpu.shaders.api import make_context_codec
+
+EPSILON = 1.0e-5
+MAX_POLY = 21  # 18 intersection slots + 3 originals
+MAX_FAN = MAX_POLY - 2  # fan triangles per clipped face
+TWO_PI = 2.0 * math.pi
+
+
+def _insides(pos):
+    """Plane inside tests (renderer.rs:46-58). pos (..., 4) → (..., 6) bool."""
+    x, y, z, w = pos[..., 0], pos[..., 1], pos[..., 2], pos[..., 3]
+    return jnp.stack(
+        [x >= -w, x <= w, y <= w, y >= -w, z >= 0.0, z <= w], axis=-1
+    )
+
+
+def _ratios(a, b):
+    """Intersection ratios for all 6 planes (renderer.rs:60-73).
+
+    a, b: (..., 4) clip positions → (..., 6) f32. Division by zero yields
+    inf exactly as Rust f32 does; such slots are either masked or flow
+    through as the reference's garbage would.
+    """
+    ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            -(ax + aw) / (bw + bx - ax - aw),
+            (aw - ax) / (aw - bw - ax + bx),
+            (aw - ay) / (aw - bw - ay + by),
+            -(ay + aw) / (bw + by - aw - ay),
+            aw / (aw - bw),
+            (aw - az) / (aw - bw - az + bz),
+        ],
+        axis=-1,
+    )
+
+
+def _f32_to_i32_sat(x):
+    """Rust ``f32 as i32``: truncate toward zero, saturate, NaN → 0.
+
+    (Saturation lands on the largest f32 below 2^31, off by 127 from Rust's
+    exact i32::MAX — observable only for garbage off-screen vertices whose
+    bboxes are clamped to the screen anyway.)
+    """
+    x = jnp.where(jnp.isnan(x), 0.0, x)
+    x = jnp.clip(x, -2147483648.0, 2147483520.0)
+    return x.astype(jnp.int32)
+
+
+def _screen_coords(pos, rhw, width, height):
+    """NDC + viewport transform (renderer.rs:220-235).
+
+    pos (..., 4) clip → (ndc_xy (..., 2), spf (..., 2), spi (..., 2)).
+    """
+    ndc = pos * rhw[..., None]
+    # Left-associative like the reference: ((x+1) * W) * 0.5 rounds once at
+    # the W multiply; grouping as x * (W/2) can differ by an ulp.
+    spf_x = (ndc[..., 0] + 1.0) * jnp.float32(width) * 0.5
+    spf_y = (1.0 - ndc[..., 1]) * jnp.float32(height) * 0.5
+    spf = jnp.stack([spf_x, spf_y], axis=-1)
+    spi = _f32_to_i32_sat(spf + 0.5)
+    return ndc[..., :2], spf, spi
+
+
+def _is_top_left(a, b):
+    """Top-left rule predicate on integer coords (renderer.rs:26-29)."""
+    return ((a[..., 1] == b[..., 1]) & (a[..., 0] < b[..., 0])) | (
+        a[..., 1] > b[..., 1]
+    )
+
+
+def _setup_triangles(ndc_xy, spf, spi, rhw, ctx, valid, order, ps_index):
+    """Winding repair + per-triangle raster setup (renderer.rs:300-320).
+
+    All args have a leading (N, 3, ...) triangle-corner layout. The winding
+    repair (swap v1/v2 when the NDC normal z > 0 — NOT culling) is applied
+    here so the raster kernel sees final vertex order.
+    """
+    v01 = ndc_xy[:, 1] - ndc_xy[:, 0]
+    v02 = ndc_xy[:, 2] - ndc_xy[:, 0]
+    nz = v01[:, 0] * v02[:, 1] - v01[:, 1] * v02[:, 0]
+    swap = nz > 0.0  # NaN → no swap, like Rust
+    perm = jnp.where(
+        swap[:, None], jnp.array([0, 2, 1], jnp.int32), jnp.array([0, 1, 2], jnp.int32)
+    )  # (N, 3)
+
+    def apply_perm(arr):
+        idx = perm.reshape(perm.shape + (1,) * (arr.ndim - 2))
+        return jnp.take_along_axis(arr, idx, axis=1)
+
+    spi = apply_perm(spi)
+    spf = apply_perm(spf)
+    rhw = apply_perm(rhw[..., None])[..., 0]
+    ctx = apply_perm(ctx)
+
+    tl = jnp.stack(
+        [
+            _is_top_left(spi[:, 0], spi[:, 1]),
+            _is_top_left(spi[:, 1], spi[:, 2]),
+            _is_top_left(spi[:, 2], spi[:, 0]),
+        ],
+        axis=-1,
+    )
+    return TriangleBuffer(
+        spi=spi,
+        spf=spf,
+        rhw=rhw,
+        ctx=ctx,
+        top_left=tl,
+        valid=valid,
+        order=order.astype(jnp.int32),
+        ps_index=jnp.broadcast_to(jnp.asarray(ps_index, jnp.int32), valid.shape),
+    )
+
+
+def _clip_face(pos3, ctx3, width, height):
+    """Fixed-shape clip of one (not-all-inside) face (renderer.rs:150-266).
+
+    pos3 (3, 4), ctx3 (3, C) → per-face fan arrays with MAX_FAN slots:
+    (ndc_xy (19,3,2), spf, spi, rhw (19,3), ctx (19,3,C), tri_valid (19,)).
+    """
+    ins = _insides(pos3)  # (3, 6)
+    pair_a = jnp.array([0, 0, 1])
+    pair_b = jnp.array([1, 2, 2])
+    a_pos, b_pos = pos3[pair_a], pos3[pair_b]  # (3, 4)
+    a_ctx, b_ctx = ctx3[pair_a], ctx3[pair_b]
+    ratios = _ratios(a_pos, b_pos)  # (3, 6)
+    new_pos = a_pos[:, None, :] + ratios[..., None] * (b_pos - a_pos)[:, None, :]
+    new_ctx = a_ctx[:, None, :] + (b_ctx - a_ctx)[:, None, :] * ratios[..., None]
+    differ = ins[pair_a] != ins[pair_b]  # (3, 6)
+    new_valid = differ & (jnp.abs(new_pos[..., 3]) > EPSILON)
+
+    c = ctx3.shape[-1]
+    cand_pos = jnp.concatenate([new_pos.reshape(18, 4), pos3], axis=0)  # (21, 4)
+    cand_ctx = jnp.concatenate([new_ctx.reshape(18, c), ctx3], axis=0)
+    cand_valid = jnp.concatenate(
+        [new_valid.reshape(18), jnp.ones((3,), bool)], axis=0
+    )
+    # Mask garbage slots so they cannot poison the centroid with NaN/inf.
+    cand_pos = jnp.where(cand_valid[:, None], cand_pos, 0.0)
+
+    n = jnp.sum(cand_valid).astype(jnp.int32)
+    # Reference multiplies by the reciprocal (renderer.rs:187), not divides.
+    centroid = jnp.sum(cand_pos[:, :2] * cand_valid[:, None], axis=0) * (
+        1.0 / n.astype(jnp.float32)
+    )
+    d = cand_pos[:, :2] - centroid
+    ang = jnp.arctan2(d[:, 1], d[:, 0])
+    ang = jnp.where(ang < 0.0, ang + TWO_PI, ang)
+    key = jnp.where(cand_valid, ang, jnp.float32(1.0e9))
+    perm = jnp.argsort(key, stable=True)  # stable → candidate order preserved
+    pos_s = cand_pos[perm]
+    ctx_s = cand_ctx[perm]
+
+    rhw = 1.0 / pos_s[:, 3]
+    ndc_xy, spf, spi = _screen_coords(pos_s, rhw, width, height)
+
+    # Fan triangulation with the reference's exact ordering (renderer.rs:237-266).
+    t = jnp.arange(MAX_FAN, dtype=jnp.int32)
+    i1 = jnp.where(t == n - 3, 1, jnp.where(t == n - 4, 2, n - 2 - t))
+    i2 = jnp.where(t == n - 3, 2, jnp.where(t == n - 4, 3, n - 1 - t))
+    i0 = jnp.zeros_like(t)
+    tri_valid = t < (n - 2)
+    idx = jnp.clip(jnp.stack([i0, i1, i2], axis=-1), 0, MAX_POLY - 1)  # (19, 3)
+
+    return (
+        ndc_xy[idx],
+        spf[idx],
+        spi[idx],
+        rhw[idx],
+        ctx_s[idx],
+        tri_valid,
+    )
+
+
+def geometry_process(
+    vs_inputs,
+    vertex_shader: Callable,
+    vs_uniform,
+    width: int,
+    height: int,
+    *,
+    clip_cap: int = 256,
+    ps_index: int = 0,
+    order_base: int = 0,
+):
+    """Run the full geometry stage over a batch of faces.
+
+    ``vs_inputs``: pytree with leaves of shape (F, 3, ...) — one record per
+    face corner. ``vertex_shader(vs_uniform, corner_pytree) -> (pos4, ctx)``.
+
+    Returns ``(TriangleBuffer, stats)`` where the buffer has
+    ``F + clip_cap * MAX_FAN`` slots (path A: one per face; path B: the fan
+    slots of up to ``clip_cap`` clipped faces) and
+    ``stats = {"num_clipped": i32}`` — if ``num_clipped > clip_cap`` the
+    extra clipped faces are dropped (documented overflow policy; raise
+    ``clip_cap``).
+    """
+    leaves = jax.tree.leaves(vs_inputs)
+    f = leaves[0].shape[0]
+    example = jax.tree.map(lambda l: jnp.zeros(l.shape[2:], jnp.float32), vs_inputs)
+    codec = make_context_codec(vertex_shader, vs_uniform, example)
+
+    def vs_one(vin):
+        pos, ctx = vertex_shader(vs_uniform, vin)
+        return jnp.asarray(pos, jnp.float32), codec.flatten(ctx)
+
+    flat_in = jax.tree.map(
+        lambda l: jnp.asarray(l, jnp.float32).reshape((f * 3,) + l.shape[2:]),
+        vs_inputs,
+    )
+    pos, ctx = jax.vmap(vs_one)(flat_in)
+    c = codec.num_channels
+    pos = pos.reshape(f, 3, 4)
+    ctx = ctx.reshape(f, 3, c)
+
+    w_ok = jnp.all(pos[..., 3] != 0.0, axis=1)  # renderer.rs:117-119
+    ins = _insides(pos)
+    all_in = jnp.all(ins, axis=(1, 2))
+    face_idx = jnp.arange(f, dtype=jnp.int32)
+
+    # ---- Path A: all-inside faces (no clip, no sort) ----
+    a_valid = w_ok & all_in
+    a_rhw = 1.0 / pos[..., 3]
+    ndc_xy, spf, spi = _screen_coords(pos, a_rhw, width, height)
+    buf_a = _setup_triangles(
+        ndc_xy,
+        spf,
+        spi,
+        a_rhw,
+        ctx,
+        a_valid,
+        order_base + face_idx * MAX_FAN,
+        ps_index,
+    )
+
+    # ---- Path B: clipped faces, compacted to clip_cap slots ----
+    b_mask = w_ok & ~all_in
+    num_clipped = jnp.sum(b_mask).astype(jnp.int32)
+    (sel,) = jnp.nonzero(b_mask, size=clip_cap, fill_value=f)
+    pos_pad = jnp.concatenate([pos, jnp.ones((1, 3, 4), jnp.float32)], axis=0)
+    ctx_pad = jnp.concatenate([ctx, jnp.zeros((1, 3, c), jnp.float32)], axis=0)
+    b_pos = pos_pad[sel]
+    b_ctx = ctx_pad[sel]
+    b_ndc, b_spf, b_spi, b_rhw, b_ctx_s, b_tri_valid = jax.vmap(
+        _clip_face, in_axes=(0, 0, None, None)
+    )(b_pos, b_ctx, width, height)
+    b_tri_valid = b_tri_valid & (sel < f)[:, None]
+    b_order = (
+        order_base
+        + sel[:, None] * MAX_FAN
+        + jnp.arange(MAX_FAN, dtype=jnp.int32)[None, :]
+    )
+
+    def flat(x):
+        return x.reshape((clip_cap * MAX_FAN,) + x.shape[2:])
+
+    buf_b = _setup_triangles(
+        flat(b_ndc),
+        flat(b_spf),
+        flat(b_spi),
+        flat(b_rhw),
+        flat(b_ctx_s),
+        flat(b_tri_valid),
+        flat(b_order),
+        ps_index,
+    )
+
+    return buf_a.concat(buf_b), {"num_clipped": num_clipped}

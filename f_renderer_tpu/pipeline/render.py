@@ -1,0 +1,133 @@
+"""End-to-end frame rendering: geometry → raster → deferred shade.
+
+Mirrors the phong.rs:314-387 frame structure (geometry over all draws
+building one submission-ordered triangle list, then rasterization), fully
+jittable. A "draw" is one mesh batch sharing a ps_index (the reference's
+PLACE enum selecting a texture, phong.rs:34-38).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from f_renderer_tpu.pipeline.geometry import MAX_FAN, geometry_process
+from f_renderer_tpu.pipeline.raster_jnp import rasterize_jnp
+from f_renderer_tpu.pipeline.shade import shade_deferred
+from f_renderer_tpu.pipeline.types import TriangleBuffer
+from f_renderer_tpu.shaders.api import make_context_codec
+
+I32_MAX = jnp.int32(2147483647)
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int
+    height: int
+    background: tuple = (0, 0, 0, 255)
+    clip_cap: int = 256
+    tile: tuple = (64, 128)
+    backend: str = "jnp"  # "jnp" | "pallas"
+    replicate_ps_boundary_quirk: bool = True
+
+
+def apply_ps_boundary_quirk(tri: TriangleBuffer, num_draws: int) -> TriangleBuffer:
+    """Reproduce the inclusive `<=` texture-range boundaries (phong.rs:364-370).
+
+    The reference assigns triangle index i to draw d via chained
+    ``prev_off < i <= off_d`` checks, so the *first emitted* triangle of each
+    draw lands in the earliest draw whose cumulative offset equals its index
+    — i.e. ``searchsorted(offsets, i, side='left')``. Only the first triangle
+    per draw differs from its true draw id, so we patch exactly those.
+    """
+    if num_draws <= 1:
+        return tri
+    d_ids = jnp.arange(num_draws, dtype=jnp.int32)
+    valid = tri.valid
+    counts = jax.vmap(
+        lambda d: jnp.sum(valid & (tri.ps_index == d)).astype(jnp.int32)
+    )(d_ids)
+    offsets = jnp.cumsum(counts)
+    start = jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-1]])
+    target = jnp.searchsorted(offsets, start, side="left").astype(jnp.int32)
+    order_masked = jnp.where(valid, tri.order, I32_MAX)
+    min_order = jax.vmap(
+        lambda d: jnp.min(jnp.where(tri.ps_index == d, order_masked, I32_MAX))
+    )(d_ids)
+    is_first = valid & (tri.order == min_order[tri.ps_index])
+    new_ps = jnp.where(is_first, target[tri.ps_index], tri.ps_index)
+    return dataclasses.replace(tri, ps_index=new_ps)
+
+
+def build_triangles(
+    draws: Sequence,
+    vertex_shader: Callable,
+    vs_uniform,
+    config: RenderConfig,
+):
+    """Geometry stage over all draws → one TriangleBuffer + stats."""
+    bufs = []
+    order_base = 0
+    num_clipped = jnp.int32(0)
+    for d, vs_inputs in enumerate(draws):
+        f = jax.tree.leaves(vs_inputs)[0].shape[0]
+        buf, stats = geometry_process(
+            vs_inputs,
+            vertex_shader,
+            vs_uniform,
+            config.width,
+            config.height,
+            clip_cap=config.clip_cap,
+            ps_index=d,
+            order_base=order_base,
+        )
+        order_base += f * MAX_FAN
+        num_clipped = num_clipped + stats["num_clipped"]
+        bufs.append(buf)
+    tri = functools.reduce(lambda a, b: a.concat(b), bufs)
+    if config.replicate_ps_boundary_quirk:
+        tri = apply_ps_boundary_quirk(tri, len(draws))
+    return tri, {"num_clipped": num_clipped}
+
+
+def rasterize(tri: TriangleBuffer, config: RenderConfig):
+    if config.backend == "pallas":
+        from f_renderer_tpu.pipeline.raster_pallas import rasterize_pallas
+
+        return rasterize_pallas(tri, config.width, config.height, tile=config.tile)
+    return rasterize_jnp(tri, config.width, config.height, tile=config.tile)
+
+
+def render_frame(
+    draws: Sequence,
+    vertex_shader: Callable,
+    vs_uniform,
+    pixel_shader: Callable,
+    ps_uniform,
+    config: RenderConfig,
+):
+    """Render one frame. Returns (frame (H,W,4) u8, depth (H,W) f32, stats).
+
+    ``draws``: sequence of vs_input pytrees (leaves (F_d, 3, ...)).
+    Fully traceable: wrap in jax.jit holding `draws` structure static.
+    """
+    tri, stats = build_triangles(draws, vertex_shader, vs_uniform, config)
+    winner, depth = rasterize(tri, config)
+
+    example = jax.tree.map(
+        lambda l: jnp.zeros(l.shape[2:], jnp.float32), draws[0]
+    )
+    codec = make_context_codec(vertex_shader, vs_uniform, example)
+    frame = shade_deferred(
+        tri,
+        winner,
+        pixel_shader,
+        ps_uniform,
+        codec,
+        background=config.background,
+    )
+    return frame, depth, stats
