@@ -1,0 +1,158 @@
+"""shard_map multi-device rendering.
+
+Device mesh axes:
+
+- ``dp`` — data parallel over faces: each shard runs the geometry stage on
+  its contiguous block of faces (submission order preserved by block
+  sharding + per-shard order offsets), then ``all_gather`` (tiled) rebuilds
+  the full TriangleBuffer on every device — the triangle setup is small
+  (~100 B/slot) so this rides ICI cheaply.
+- ``sp`` — spatial parallel over framebuffer row slabs: each device
+  rasterizes + shades rows [lin·slab, (lin+1)·slab) of the frame using the
+  origin-offset partial-frame path (the reference's width_range/height_range
+  concept, renderer.rs:269-298). Slabs are disjoint → no z-merge collective
+  needed; the (rhw, order) argmax is local.
+
+Output frame/depth are sharded over rows across all devices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from f_renderer_tpu.pipeline.geometry import MAX_FAN, geometry_process
+from f_renderer_tpu.pipeline.raster_jnp import rasterize_jnp
+from f_renderer_tpu.pipeline.render import RenderConfig, apply_ps_boundary_quirk
+from f_renderer_tpu.pipeline.shade import shade_deferred
+from f_renderer_tpu.shaders.api import make_context_codec
+
+
+def make_render_mesh(devices=None, dp: int | None = None, sp: int | None = None) -> Mesh:
+    """Build a ("dp", "sp") mesh over the given (or all) devices."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None and sp is None:
+        dp = 1
+        sp = n
+    elif dp is None:
+        dp = n // sp
+    elif sp is None:
+        sp = n // dp
+    assert dp * sp == n, f"dp*sp={dp * sp} != {n} devices"
+    return Mesh(np.asarray(devices).reshape(dp, sp), ("dp", "sp"))
+
+
+def _pad_faces(vs_inputs, multiple: int):
+    """Pad the face axis to a multiple with degenerate (zero-area) faces.
+
+    Padding replicates corner 0 of face 0 across all three corners: such a
+    face has zero area, so it covers no pixel under the fill rule
+    (all edge functions 0 < threshold 1) and the s==0 guard.
+    """
+    leaves = jax.tree.leaves(vs_inputs)
+    f = leaves[0].shape[0]
+    pad = (-f) % multiple
+    if pad == 0:
+        return vs_inputs, f
+
+    def pad_leaf(l):
+        degen = jnp.broadcast_to(l[0:1, 0:1], (pad,) + l.shape[1:])
+        return jnp.concatenate([jnp.asarray(l), degen], axis=0)
+
+    return jax.tree.map(pad_leaf, vs_inputs), f + pad
+
+
+def render_frame_sharded(
+    draws: Sequence,
+    vertex_shader: Callable,
+    vs_uniform,
+    pixel_shader: Callable,
+    ps_uniform,
+    config: RenderConfig,
+    mesh: Mesh,
+):
+    """Multi-device render. Returns (frame (H,W,4) u8, depth (H,W) f32),
+    sharded over rows across the whole mesh.
+
+    Requires ``config.height % num_devices == 0``.
+    """
+    n_dp = mesh.shape["dp"]
+    n_sp = mesh.shape["sp"]
+    n_lin = n_dp * n_sp
+    h, w = config.height, config.width
+    assert h % n_lin == 0, f"height {h} must divide by {n_lin} devices"
+    slab = h // n_lin
+
+    draws_padded = []
+    f_sizes = []
+    for d in draws:
+        dp_pad, f_pad = _pad_faces(d, n_dp)
+        draws_padded.append(dp_pad)
+        f_sizes.append(f_pad)
+
+    example = jax.tree.map(lambda l: jnp.zeros(l.shape[2:], jnp.float32), draws[0])
+    codec = make_context_codec(vertex_shader, vs_uniform, example)
+
+    def step(vs_uniform, ps_uniform, *draw_shards):
+        dp = jax.lax.axis_index("dp")
+        sp = jax.lax.axis_index("sp")
+
+        bufs = []
+        order_base = 0
+        for d, vsin in enumerate(draw_shards):
+            f_local = f_sizes[d] // n_dp
+            buf, _ = geometry_process(
+                vsin,
+                vertex_shader,
+                vs_uniform,
+                w,
+                h,
+                clip_cap=config.clip_cap,
+                ps_index=d,
+                order_base=order_base + dp * f_local * MAX_FAN,
+            )
+            order_base += f_sizes[d] * MAX_FAN
+            bufs.append(buf)
+        tri_local = functools.reduce(lambda a, b: a.concat(b), bufs)
+        tri = jax.lax.all_gather(tri_local, "dp", axis=0, tiled=True)
+        if config.replicate_ps_boundary_quirk:
+            tri = apply_ps_boundary_quirk(tri, len(draws))
+
+        lin = dp * n_sp + sp
+        y0 = lin * slab
+        winner, depth = rasterize_jnp(
+            tri,
+            w,
+            slab,
+            tile=(min(config.tile[0], slab), config.tile[1]),
+            origin=(y0, 0),
+            full_size=(h, w),
+        )
+        frame = shade_deferred(
+            tri,
+            winner,
+            pixel_shader,
+            ps_uniform,
+            codec,
+            background=config.background,
+            origin=(y0, 0),
+        )
+        return frame, depth
+
+    shard_spec = P(("dp", "sp"))
+    stepped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P()) + tuple(P("dp") for _ in draws_padded),
+        out_specs=(shard_spec, shard_spec),
+        check_vma=False,
+    )
+    return stepped(vs_uniform, ps_uniform, *draws_padded)

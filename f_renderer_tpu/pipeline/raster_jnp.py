@@ -47,28 +47,37 @@ def rasterize_jnp(
     height: int,
     *,
     tile: tuple[int, int] = (64, 128),
+    origin: tuple = (0, 0),
+    full_size: tuple | None = None,
 ):
     """Rasterize to per-pixel (winner, depth).
 
     Returns ``(winner (H, W) i32 — triangle slot id or -1, depth (H, W) f32
     — rhw, 0.0 where unwritten)``.
+
+    ``origin=(y0, x0)`` renders the sub-rect [y0, y0+height) × [x0, x0+width)
+    of a ``full_size=(H_full, W_full)`` frame — the reference's
+    width_range/height_range concept (renderer.rs:269-298), used for
+    multi-device tile sharding.
     """
     th, tw = tile
+    y_origin, x_origin = origin
+    fh, fw = full_size if full_size is not None else (height, width)
     nty, ntx = _cdiv(height, th), _cdiv(width, tw)
     m = tri.num_slots
 
     tile_ids = jnp.arange(nty * ntx, dtype=jnp.int32)
-    oy = (tile_ids // ntx) * th
-    ox = (tile_ids % ntx) * tw
+    oy = y_origin + (tile_ids // ntx) * th
+    ox = x_origin + (tile_ids % ntx) * tw
 
     # Clamped bbox per triangle (renderer.rs:285-298). The sequential
     # min/clamp loop is equivalent to clamp(min(...)), clamp(max(...)).
     sx = tri.spi[:, :, 0]
     sy = tri.spi[:, :, 1]
-    min_x = jnp.clip(jnp.min(sx, axis=1), 0, width)
-    max_x = jnp.clip(jnp.max(sx, axis=1), 0, width)
-    min_y = jnp.clip(jnp.min(sy, axis=1), 0, height)
-    max_y = jnp.clip(jnp.max(sy, axis=1), 0, height)
+    min_x = jnp.clip(jnp.min(sx, axis=1), 0, fw)
+    max_x = jnp.clip(jnp.max(sx, axis=1), 0, fw)
+    min_y = jnp.clip(jnp.min(sy, axis=1), 0, fh)
+    max_y = jnp.clip(jnp.max(sy, axis=1), 0, fh)
 
     def tile_body(oy0, ox0):
         cy = oy0 + jnp.arange(th, dtype=jnp.int32)[:, None]  # (th, 1)

@@ -20,20 +20,29 @@ from f_renderer_tpu.pipeline.types import TriangleBuffer
 from f_renderer_tpu.shaders.api import ContextCodec
 
 
-def interpolate_context(tri: TriangleBuffer, winner: jnp.ndarray, width: int, height: int):
+def interpolate_context(
+    tri: TriangleBuffer,
+    winner: jnp.ndarray,
+    width: int,
+    height: int,
+    *,
+    origin: tuple = (0, 0),
+):
     """Per-pixel perspective-correct varying interpolation.
 
     Returns ``(ctx (H, W, C) f32, ps_index (H, W) i32)`` for the winning
     triangle at each pixel (garbage where winner < 0 — mask downstream).
+    ``origin=(y0, x0)``: global coords of this sub-rect's top-left pixel.
     """
     h, w = winner.shape
+    y0, x0 = origin
     wid = jnp.maximum(winner, 0)
     spf = tri.spf[wid]  # (H, W, 3, 2)
     rhw3 = tri.rhw[wid]  # (H, W, 3)
     ctx3 = tri.ctx[wid]  # (H, W, 3, C)
 
-    px = jnp.arange(w, dtype=jnp.float32)[None, :, None] + 0.5
-    py = jnp.arange(h, dtype=jnp.float32)[:, None, None] + 0.5
+    px = x0 + jnp.arange(w, dtype=jnp.float32)[None, :, None] + 0.5
+    py = y0 + jnp.arange(h, dtype=jnp.float32)[:, None, None] + 0.5
     sx = spf[..., 0] - px  # (H, W, 3)
     sy = spf[..., 1] - py
 
@@ -62,6 +71,7 @@ def shade_deferred(
     codec: ContextCodec,
     *,
     background=(0, 0, 0, 255),
+    origin: tuple = (0, 0),
 ):
     """Run the pixel shader over the frame; returns (H, W, 4) uint8.
 
@@ -69,7 +79,7 @@ def shade_deferred(
     is vmapped over pixels (ps_uniform broadcast).
     """
     h, w = winner.shape
-    ctx_flat, ps_idx = interpolate_context(tri, winner, w, h)
+    ctx_flat, ps_idx = interpolate_context(tri, winner, w, h, origin=origin)
 
     def shade_one(flat, idx):
         return pixel_shader(ps_uniform, codec.unflatten(flat), idx)

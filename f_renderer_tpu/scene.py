@@ -1,0 +1,195 @@
+"""Scene / application layer (reference: examples/src/bin/phong.rs).
+
+Replaces the reference's Vulkan/wgpu window presentation (vulkan_base.rs,
+wgpu_base.rs — a dumb blitter for CPU-computed pixels) with a functional
+frame API: build a `Scene`, call `render` (jittable), export PNG/npy.
+
+Also provides procedural meshes for tests/benchmarks, since the reference's
+OBJ/TGA assets are not distributed with its repository.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f_renderer_tpu.camera import Camera
+from f_renderer_tpu.math import set_identity, set_perspective
+from f_renderer_tpu.pipeline import RenderConfig, render_frame
+from f_renderer_tpu.shaders import TextureStack, make_phong_shaders
+
+
+@dataclasses.dataclass
+class Scene:
+    """A multi-mesh scene with per-draw textures (phong.rs:166-184)."""
+
+    draws: Sequence  # list of vs_input pytrees, leaves (F, 3, ...)
+    vertex_shader: Callable
+    pixel_shader: Callable
+    vs_uniform: dict
+    ps_uniform: dict
+    config: RenderConfig
+
+    def render(self):
+        return render_frame(
+            self.draws,
+            self.vertex_shader,
+            self.vs_uniform,
+            self.pixel_shader,
+            self.ps_uniform,
+            self.config,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Procedural geometry
+# ---------------------------------------------------------------------------
+
+
+def make_cube(size: float = 1.0) -> dict:
+    """12-triangle cube with per-face normals and uvs; corners (12, 3, ...)."""
+    s = size * 0.5
+    v = np.array(
+        [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)],
+        np.float32,
+    )
+    quads = [
+        ((0, 1, 3, 2), (-1, 0, 0)),
+        ((4, 6, 7, 5), (1, 0, 0)),
+        ((0, 4, 5, 1), (0, -1, 0)),
+        ((2, 3, 7, 6), (0, 1, 0)),
+        ((0, 2, 6, 4), (0, 0, -1)),
+        ((1, 5, 7, 3), (0, 0, 1)),
+    ]
+    pos, normal, uv, color = [], [], [], []
+    quad_uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    palette = np.array(
+        [
+            [0.9, 0.2, 0.2, 1],
+            [0.2, 0.9, 0.2, 1],
+            [0.2, 0.2, 0.9, 1],
+            [0.9, 0.9, 0.2, 1],
+            [0.9, 0.2, 0.9, 1],
+            [0.2, 0.9, 0.9, 1],
+        ],
+        np.float32,
+    )
+    for qi, (idx, n) in enumerate(quads):
+        for tri in ((0, 1, 2), (0, 2, 3)):
+            pos.append(v[[idx[t] for t in tri]])
+            uv.append(quad_uv[list(tri)])
+            normal.append(np.tile(np.asarray(n, np.float32), (3, 1)))
+            color.append(np.tile(palette[qi], (3, 1)))
+    return {
+        "pos": np.stack(pos),
+        "uv": np.stack(uv),
+        "normal": np.stack(normal),
+        "color": np.stack(color),
+    }
+
+
+def make_uv_sphere(n_lat: int = 36, n_lon: int = 72, radius: float = 1.0) -> dict:
+    """UV sphere (~2·n_lat·n_lon triangles) with smooth normals and uvs."""
+    lat = np.linspace(0, np.pi, n_lat + 1)
+    lon = np.linspace(0, 2 * np.pi, n_lon + 1)
+    th, ph = np.meshgrid(lat, lon, indexing="ij")
+    x = np.sin(th) * np.cos(ph)
+    y = np.cos(th)
+    z = np.sin(th) * np.sin(ph)
+    p = np.stack([x, y, z], axis=-1).astype(np.float32)  # (n_lat+1, n_lon+1, 3)
+    u = (ph / (2 * np.pi)).astype(np.float32)
+    v = (th / np.pi).astype(np.float32)
+    uvg = np.stack([u, v], axis=-1)
+
+    pos, uv, normal = [], [], []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a, b, c, d = p[i, j], p[i + 1, j], p[i + 1, j + 1], p[i, j + 1]
+            ua, ub, uc, ud = uvg[i, j], uvg[i + 1, j], uvg[i + 1, j + 1], uvg[i, j + 1]
+            for tri_p, tri_u in (((a, b, c), (ua, ub, uc)), ((a, c, d), (ua, uc, ud))):
+                pos.append(np.stack(tri_p))
+                uv.append(np.stack(tri_u))
+                normal.append(np.stack(tri_p))  # unit sphere: normal = pos
+    return {
+        "pos": np.stack(pos) * radius,
+        "uv": np.stack(uv),
+        "normal": np.stack(normal),
+    }
+
+
+def make_instanced_soup(
+    n_tris: int, seed: int = 0, spread: float = 8.0, size: float = 0.08
+) -> dict:
+    """Random triangle soup for stress benchmarks (BASELINE config #5)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(
+        [-spread, -spread, 2.0], [spread, spread, 30.0], (n_tris, 3)
+    ).astype(np.float32)
+    offs = rng.uniform(-size * 10, size * 10, (n_tris, 3, 3)).astype(np.float32)
+    pos = centers[:, None, :] + offs * size / 0.08 * 0.08
+    normal = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+    nn = np.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = (normal / np.where(nn == 0, 1, nn)).astype(np.float32)
+    uv = rng.random((n_tris, 3, 2)).astype(np.float32)
+    return {
+        "pos": pos.astype(np.float32),
+        "uv": uv,
+        "normal": np.repeat(normal[:, None, :], 3, axis=1),
+    }
+
+
+def make_checker_texture(n: int = 64, cell: int = 4) -> np.ndarray:
+    tex = np.zeros((n, n, 4), np.float32)
+    ix = np.arange(n)
+    mask = (ix[:, None] // cell + ix[None, :] // cell) % 2 == 0
+    tex[mask] = [0.85, 0.65, 0.25, 1.0]
+    tex[~mask] = [0.25, 0.45, 0.85, 1.0]
+    return tex
+
+
+def make_phong_scene(
+    width: int,
+    height: int,
+    meshes: Sequence[dict] | None = None,
+    textures: Sequence[np.ndarray] | None = None,
+    camera: Camera | None = None,
+    clip_cap: int = 256,
+    backend: str = "jnp",
+) -> Scene:
+    """A ready-to-render multi-mesh Phong scene (the phong.rs workload)."""
+    if meshes is None:
+        meshes = [make_cube()]
+    if textures is None:
+        textures = [make_checker_texture()] * len(meshes)
+    if camera is None:
+        camera = Camera.create([0.0, 1.0, 3.0], [0.0, 1.0, 0.0], [0.0, 1.0, 0.0])
+    vs, ps = make_phong_shaders()
+    proj = set_perspective(np.pi * 0.25, width / height, 0.1, 100.0)
+    draws = [
+        {k: jnp.asarray(m[k]) for k in ("pos", "uv", "normal")} for m in meshes
+    ]
+    return Scene(
+        draws=draws,
+        vertex_shader=vs,
+        pixel_shader=ps,
+        vs_uniform={
+            "model": set_identity(),
+            "view": camera.look_at(),
+            "proj": proj,
+        },
+        ps_uniform={
+            "textures": TextureStack.create(list(textures)),
+            "view_pos": camera.eye,
+        },
+        config=RenderConfig(
+            width=width,
+            height=height,
+            background=(30, 30, 30, 255),
+            clip_cap=clip_cap,
+            backend=backend,
+        ),
+    )

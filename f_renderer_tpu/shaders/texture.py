@@ -58,11 +58,14 @@ class TextureStack:
         y1 = jnp.clip(jnp.trunc(y), 0, y_hi).astype(jnp.int32)
         x2 = jnp.clip(x1 + 1, 0, w - 1)
         y2 = jnp.clip(y1 + 1, 0, y_hi)
-        d = self.data[index]
-        c11 = d[y1, x1].astype(jnp.float32)
-        c12 = d[y2, x1].astype(jnp.float32)
-        c21 = d[y1, x2].astype(jnp.float32)
-        c22 = d[y2, x2].astype(jnp.float32)
+        # Single-texel gathers with the stack index folded in — indexing
+        # self.data[index] first would materialize a whole texture per pixel
+        # under vmap.
+        d = self.data
+        c11 = d[index, y1, x1].astype(jnp.float32)
+        c12 = d[index, y2, x1].astype(jnp.float32)
+        c21 = d[index, y1, x2].astype(jnp.float32)
+        c22 = d[index, y2, x2].astype(jnp.float32)
         return (
             c11 * (1.0 - a) * (1.0 - b)
             + c12 * (1.0 - a) * b
