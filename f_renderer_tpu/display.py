@@ -1,0 +1,174 @@
+"""Presentation layer — the TPU-native analogue of vulkan_base.rs/wgpu_base.rs.
+
+The reference's L3 layer is an OS window plus a dumb blit of a CPU-computed
+byte buffer (vulkan_base.rs:723 maps a staging buffer, the app memcpys the
+framebuffer into it, the GPU copies it to the swapchain; wgpu_base.rs:140-176
+is the same via ``copy_buffer_to_texture``). On a headless TPU host the
+equivalent "present" is a device→host DMA of the rendered frame followed by a
+sink write: PNG sequence, raw byte stream (pipeable to ffmpeg et al.), npy,
+or an in-terminal preview.
+
+``render_loop`` reproduces the per-frame structure of
+``DisplayBase::render_loop`` (vulkan_base.rs:696-805): an event callback
+mutates app state (camera), a render step produces the frame, present blits
+it. JAX's async dispatch plays the role of the double-buffered staging
+copy — frame N+1 is dispatched to the TPU before frame N's host copy
+completes, so device compute and host IO overlap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+
+class Display:
+    """Present sink interface (WgpuRenderer / DisplayBase analogue)."""
+
+    def present(self, frame: np.ndarray) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class NullDisplay(Display):
+    """Swallow frames (benchmarking without IO)."""
+
+    def present(self, frame: np.ndarray) -> None:
+        pass
+
+
+class PngSequenceDisplay(Display):
+    """Write frame_NNNN.png per present (native libpng when available)."""
+
+    def __init__(self, directory: str, prefix: str = "frame"):
+        self.directory = directory
+        self.prefix = prefix
+        self.index = 0
+        os.makedirs(directory, exist_ok=True)
+
+    def present(self, frame: np.ndarray) -> None:
+        path = os.path.join(self.directory, f"{self.prefix}_{self.index:04d}.png")
+        save_frame(path, frame)
+        self.index += 1
+
+
+class RawStreamDisplay(Display):
+    """Stream raw H*W*4 bytes per frame to a file object.
+
+    The closest analogue of the reference's mapped staging buffer
+    (phong.rs:386 ``image_slice.copy_from_slice``): a plain byte blit.
+    Pipe to ffmpeg: ``-f rawvideo -pix_fmt rgba -s WxH -i -``.
+    """
+
+    def __init__(self, fileobj):
+        self.fileobj = fileobj
+
+    def present(self, frame: np.ndarray) -> None:
+        self.fileobj.write(np.ascontiguousarray(frame, np.uint8).tobytes())
+        self.fileobj.flush()
+
+
+class AsciiDisplay(Display):
+    """Coarse in-terminal preview using 256-color half blocks."""
+
+    def __init__(self, max_cols: int = 96, out=None):
+        self.max_cols = max_cols
+        self.out = out or sys.stdout
+
+    def present(self, frame: np.ndarray) -> None:
+        frame = np.asarray(frame)
+        h, w = frame.shape[:2]
+        step = max(1, w // self.max_cols)
+        small = frame[:: step * 2, ::step, :3].astype(np.int32)
+        lines = []
+        for row in small:
+            cells = [
+                f"\x1b[48;2;{r};{g};{b}m " for r, g, b in row
+            ]
+            lines.append("".join(cells) + "\x1b[0m")
+        self.out.write("\n".join(lines) + "\n")
+        self.out.flush()
+
+
+def save_frame(path: str, frame: np.ndarray) -> None:
+    """Save one frame by extension: .png (native libpng → PIL), .npy, .raw."""
+    frame = np.asarray(frame)
+    if path.endswith(".npy"):
+        np.save(path, frame)
+        return
+    if path.endswith(".raw"):
+        with open(path, "wb") as f:
+            f.write(np.ascontiguousarray(frame, np.uint8).tobytes())
+        return
+    from f_renderer_tpu import native
+
+    if native.is_available():
+        native.write_png(path, frame)
+    else:
+        from f_renderer_tpu.io.image import save_png
+
+        save_png(path, frame)
+
+
+@dataclasses.dataclass
+class FrameEvent:
+    """Per-frame event record passed to the app callback (winit analogue)."""
+
+    index: int
+    time: float
+    dt: float
+
+
+def render_loop(
+    step: Callable,
+    state,
+    display: Optional[Display] = None,
+    *,
+    frames: int = 0,
+    print_fps: bool = True,
+    max_in_flight: int = 2,
+):
+    """Drive a frame loop (DisplayBase::render_loop, vulkan_base.rs:696-805).
+
+    ``step(state, event) -> (frame_device_array, new_state)`` — typically a
+    jitted closure; ``frames=0`` runs until KeyboardInterrupt. Keeps up to
+    ``max_in_flight`` dispatched frames outstanding so TPU compute overlaps
+    the host-side present (the staging double-buffer analogue).
+
+    Returns the final state.
+    """
+    display = display or NullDisplay()
+    pending = []  # (device_frame,) awaiting present
+    t_prev = time.time()
+    i = 0
+    try:
+        while frames == 0 or i < frames:
+            now = time.time()
+            event = FrameEvent(index=i, time=now, dt=now - t_prev)
+            t_prev = now
+            frame, state = step(state, event)
+            pending.append(frame)
+            if len(pending) >= max_in_flight:
+                display.present(np.asarray(pending.pop(0)))
+            if print_fps:
+                dt = max(event.dt, 1e-9)
+                print(f"fps: {1.0 / dt:.1f}", file=sys.stderr)
+            i += 1
+    except KeyboardInterrupt:
+        pass
+    for frame in pending:
+        display.present(np.asarray(frame))
+    return state
