@@ -128,14 +128,26 @@ def render_frame_sharded(
 
         lin = dp * n_sp + sp
         y0 = lin * slab
-        winner, depth = rasterize_jnp(
-            tri,
-            w,
-            slab,
-            tile=(min(config.tile[0], slab), config.tile[1]),
-            origin=(y0, 0),
-            full_size=(h, w),
-        )
+        if config.backend == "pallas":
+            from f_renderer_tpu.pipeline.raster_pallas import rasterize_pallas
+
+            winner, depth = rasterize_pallas(
+                tri,
+                w,
+                slab,
+                tile=(min(config.tile[0], slab), config.tile[1]),
+                origin=(y0, 0),
+                full_size=(h, w),
+            )
+        else:
+            winner, depth = rasterize_jnp(
+                tri,
+                w,
+                slab,
+                tile=(min(config.tile[0], slab), config.tile[1]),
+                origin=(y0, 0),
+                full_size=(h, w),
+            )
         frame = shade_deferred(
             tri,
             winner,

@@ -10,11 +10,24 @@ executed as a Pallas kernel gridded over framebuffer tiles:
   limit on scene size). Triangles are processed in chunks: a per-chunk bbox
   union (prefetched to SMEM) gives an O(1) whole-chunk skip; hit chunks are
   DMA'd into a VMEM scratch block and looped per triangle.
+- Triangle slots are pre-sorted (compact_sort): valid first, spatially
+  grouped by bbox tile, so chunk bbox unions are tile-local and the skip
+  test rejects almost all (tile, chunk) pairs.
 - Per-triangle fields are scalar-read from an SMEM scratch block (SMEM
   supports arbitrary dynamic indexing; VMEM does not) and broadcast against
   the (th, tw) tile by the VPU.
 - The per-pixel fill rule / edge functions / barycentric / depth math is
   bit-identical to raster_jnp.py (renderer.rs:322-366 semantics).
+
+Two entry points:
+
+- :func:`rasterize_pallas` → (winner, depth): ids for deferred shading.
+- :func:`rasterize_interp_pallas` → (ctx planes, ps_index, winner, depth):
+  additionally performs the perspective-correct varying interpolation
+  (renderer.rs:368-378) *inside* the kernel for the currently-winning
+  triangle. This exists because per-pixel gathers from the triangle table
+  (shade.interpolate_context) lower to scalar loops on TPU — orders of
+  magnitude slower than recomputing the interpolation densely in VMEM.
 
 The lexicographic (rhw, order) merge is associative, so any triangle
 partitioning order gives the reference result exactly.
@@ -38,23 +51,34 @@ _P0X, _P0Y, _P1X, _P1Y, _P2X, _P2Y = range(6)
 _TL01, _TL12, _TL20 = 6, 7, 8
 _ORDER = 9
 _MINX, _MAXX, _MINY, _MAXY = 10, 11, 12, 13
-NF_I = 16  # 14 used + pad to sublane multiple
+_SLOT = 14  # original TriangleBuffer slot id (winner ids index that buffer)
+_PS = 15  # ps_index (texture/draw selector) for fused-interp mode
+NF_I = 16
 # tri_f32 field columns
 _S0X, _S0Y, _S1X, _S1Y, _S2X, _S2Y = range(6)
 _RHW0, _RHW1, _RHW2 = 6, 7, 8
-NF_F = 16  # 9 used + pad to sublane multiple
+_CTX0 = 9  # fused-interp mode: 3*C varying channels, vertex-major
+NF_F = 16  # base fields padded to sublane multiple (no ctx)
 
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
-def pack_setup(tri: TriangleBuffer, width: int, height: int, m_pad: int):
-    """Pack a TriangleBuffer into field-major (NF_I, m_pad) i32 + (NF_F, m_pad) f32.
+def _nf_f(n_ctx: int) -> int:
+    return _cdiv(_CTX0 + 3 * n_ctx, 8) * 8 if n_ctx else NF_F
+
+
+def pack_setup(
+    tri: TriangleBuffer, width: int, height: int, m_pad: int, *, with_ctx: bool = False
+):
+    """Pack a TriangleBuffer into field-major (NF_I, m_pad) i32 + (nf, m_pad) f32.
 
     Field-major so per-chunk DMA slices the (lane) triangle dimension at
     128-aligned offsets. Invalid slots get an empty bbox (min=max=0) so they
     can never hit a tile — no separate valid flag needed in the kernel.
+    With ``with_ctx``, the f32 block also carries the 3×C varying channels
+    (vertex-major: v0 ch0..C-1, v1 ch0..C-1, v2 ch0..C-1).
     """
     m = tri.num_slots
     sx = tri.spi[:, :, 0]
@@ -80,29 +104,56 @@ def pack_setup(tri: TriangleBuffer, width: int, height: int, m_pad: int):
             max_x,
             min_y,
             max_y,
+            jnp.arange(m, dtype=jnp.int32),
+            tri.ps_index.astype(jnp.int32),
         ],
         axis=0,
     )
-    cols_f = jnp.stack(
-        [
-            tri.spf[:, 0, 0],
-            tri.spf[:, 0, 1],
-            tri.spf[:, 1, 0],
-            tri.spf[:, 1, 1],
-            tri.spf[:, 2, 0],
-            tri.spf[:, 2, 1],
-            tri.rhw[:, 0],
-            tri.rhw[:, 1],
-            tri.rhw[:, 2],
-        ],
-        axis=0,
-    )
+    rows_f = [
+        tri.spf[:, 0, 0],
+        tri.spf[:, 0, 1],
+        tri.spf[:, 1, 0],
+        tri.spf[:, 1, 1],
+        tri.spf[:, 2, 0],
+        tri.spf[:, 2, 1],
+        tri.rhw[:, 0],
+        tri.rhw[:, 1],
+        tri.rhw[:, 2],
+    ]
+    n_ctx = tri.ctx.shape[-1] if with_ctx else 0
+    if with_ctx:
+        for v in range(3):
+            for ch in range(n_ctx):
+                rows_f.append(tri.ctx[:, v, ch])
+    cols_f = jnp.stack(rows_f, axis=0)
 
     def pad_to(rows, nf, dtype):
         out = jnp.zeros((nf, m_pad), dtype)
         return out.at[: rows.shape[0], :m].set(rows.astype(dtype))
 
-    return pad_to(cols_i, NF_I, jnp.int32), pad_to(cols_f, NF_F, jnp.float32)
+    return pad_to(cols_i, NF_I, jnp.int32), pad_to(cols_f, _nf_f(n_ctx), jnp.float32)
+
+
+def compact_sort(tri_i32, tri_f32, tile: tuple[int, int], fw: int):
+    """Sort triangle columns: valid first, spatially grouped by bbox tile.
+
+    The per-pixel (rhw, order) lexicographic merge is associative and
+    commutative over triangles, so any physical order is exact. Sorting (a)
+    pushes invalid/empty slots to the tail — their chunks' bbox unions are
+    empty and skip in O(1) — and (b) groups valid triangles by the tile of
+    their bbox center, making each chunk's bbox union tile-local so the
+    kernel's chunk-skip test rejects almost all (tile, chunk) pairs.
+    """
+    th, tw = tile
+    minx, maxx = tri_i32[_MINX], tri_i32[_MAXX]
+    miny, maxy = tri_i32[_MINY], tri_i32[_MAXY]
+    empty = (maxx <= minx) | (maxy <= miny)
+    cty = ((miny + maxy) // 2) // th
+    ctx_ = ((minx + maxx) // 2) // tw
+    ntx = _cdiv(fw, tw)
+    key = jnp.where(empty, jnp.int32(2**30), cty * ntx + ctx_)
+    perm = jnp.argsort(key, stable=True)
+    return tri_i32[:, perm], tri_f32[:, perm]
 
 
 def chunk_bounds(tri_i32, chunk: int):
@@ -125,51 +176,58 @@ def chunk_bounds(tri_i32, chunk: int):
     return jnp.stack([cminx, cmaxx, cminy, cmaxy, cany])
 
 
-def _raster_kernel(
-    cb_ref,  # SMEM (5, nchunks)
-    tri_i_ref,  # ANY/HBM (NF_I, m_pad)
-    tri_f_ref,  # ANY/HBM (NF_F, m_pad)
-    depth_in_ref,
-    worder_in_ref,
-    winner_in_ref,
-    depth_ref,
-    worder_ref,
-    winner_ref,
-    vi_ref,  # SMEM scratch (NF_I, chunk) i32
-    vf_ref,  # SMEM scratch (NF_F, chunk) f32
-    sem_i,
-    sem_f,
-    *,
-    th: int,
-    tw: int,
-    chunk: int,
-    id_base: int,
-):
-    ty = pl.program_id(0)
-    tx = pl.program_id(1)
-    oy = ty * th
-    ox = tx * tw
+def _make_kernel(*, th: int, tw: int, chunk: int, id_base: int, n_ctx: int):
+    """Build the raster kernel body; n_ctx=0 → winner/depth only."""
 
-    cy = oy + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
-    cx = ox + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
-    pcx = cx.astype(jnp.float32) + 0.5
-    pcy = cy.astype(jnp.float32) + 0.5
+    def kernel(cb_ref, origin_ref, tri_i_ref, tri_f_ref, *rest):
+        if n_ctx:
+            (depth_ref, worder_ref, winner_ref, ps_ref, ctx_ref,
+             vi_ref, vf_ref, sem_i, sem_f) = rest
+        else:
+            (depth_ref, worder_ref, winner_ref,
+             vi_ref, vf_ref, sem_i, sem_f) = rest
 
-    def make_tri_body(ci):
+        ty = pl.program_id(0)
+        tx = pl.program_id(1)
+        oy = origin_ref[0] + ty * th
+        ox = origin_ref[1] + tx * tw
+
+        cy = oy + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+        cx = ox + jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+        pcx = cx.astype(jnp.float32) + 0.5
+        pcy = cy.astype(jnp.float32) + 0.5
+
         def tri_body(t, carry):
-            depth, worder, winner = carry
-            tri_id = id_base + ci * chunk + t
-
             def i32f(col):
                 return vi_ref[col, t]  # scalar (SMEM dynamic indexing)
-
-            def f32f(col):
-                return vf_ref[col, t]
 
             minx = i32f(_MINX)
             maxx = i32f(_MAXX)
             miny = i32f(_MINY)
             maxy = i32f(_MAXY)
+            # Scalar tile-overlap gate: most triangles in a DMA'd chunk miss
+            # this tile; skipping their vector work (~70 VPU ops on the whole
+            # tile) behind one scalar test is the main throughput lever.
+            hit = (minx < ox + tw) & (maxx > ox) & (miny < oy + th) & (maxy > oy)
+            return jax.lax.cond(
+                hit,
+                lambda c: _tri_vector_work(t, minx, maxx, miny, maxy, c),
+                lambda c: c,
+                carry,
+            )
+
+        def _tri_vector_work(t, minx, maxx, miny, maxy, carry):
+            if n_ctx:
+                depth, worder, winner, ps, ctx = carry
+            else:
+                depth, worder, winner = carry
+
+            def i32f(col):
+                return vi_ref[col, t]
+
+            def f32f(col):
+                return vf_ref[col, t]
+
             in_bbox = (cx >= minx) & (cx < maxx) & (cy >= miny) & (cy < maxy)
 
             p0x, p0y = i32f(_P0X), i32f(_P0Y)
@@ -197,99 +255,147 @@ def _raster_kernel(
             s = a + b + c
             cover = cover & (s != 0.0)
             inv_s = 1.0 / s
-            rhw = (
-                f32f(_RHW0) * (a * inv_s)
-                + f32f(_RHW1) * (b * inv_s)
-                + f32f(_RHW2) * (c * inv_s)
-            )
+            la = a * inv_s
+            lb = b * inv_s
+            lc = c * inv_s
+            rhw0, rhw1, rhw2 = f32f(_RHW0), f32f(_RHW1), f32f(_RHW2)
+            rhw = rhw0 * la + rhw1 * lb + rhw2 * lc
 
             o = i32f(_ORDER)
             accept = cover & ((rhw > depth) | ((rhw >= depth) & (o > worder)))
             depth = jnp.where(accept, rhw, depth)
             worder = jnp.where(accept, o, worder)
-            winner = jnp.where(accept, tri_id, winner)
-            return depth, worder, winner
+            winner = jnp.where(accept, id_base + i32f(_SLOT), winner)
+            if not n_ctx:
+                return depth, worder, winner
 
-        return tri_body
+            # Perspective-correct varying interpolation (renderer.rs:368-378)
+            # for the currently-winning triangle; overwritten on later accepts.
+            w_corr = 1.0 / jnp.where(rhw != 0.0, rhw, 1.0)
+            c0 = rhw0 * la * w_corr
+            c1 = rhw1 * lb * w_corr
+            c2 = rhw2 * lc * w_corr
+            new_ctx = [
+                f32f(_CTX0 + ch) * c0
+                + f32f(_CTX0 + n_ctx + ch) * c1
+                + f32f(_CTX0 + 2 * n_ctx + ch) * c2
+                for ch in range(n_ctx)
+            ]
+            ctx = [jnp.where(accept, new_ctx[ch], ctx[ch]) for ch in range(n_ctx)]
+            ps = jnp.where(accept, i32f(_PS), ps)
+            return depth, worder, winner, ps, ctx
 
-    def chunk_body(ci, carry):
-        chit = (
-            (cb_ref[4, ci] != 0)
-            & (cb_ref[0, ci] < ox + tw)
-            & (cb_ref[1, ci] > ox)
-            & (cb_ref[2, ci] < oy + th)
-            & (cb_ref[3, ci] > oy)
-        )
-
-        def do_chunk(cr):
-            dma_i = pltpu.make_async_copy(
-                tri_i_ref.at[:, pl.ds(ci * chunk, chunk)], vi_ref, sem_i
+        def chunk_body(ci, carry):
+            chit = (
+                (cb_ref[4, ci] != 0)
+                & (cb_ref[0, ci] < ox + tw)
+                & (cb_ref[1, ci] > ox)
+                & (cb_ref[2, ci] < oy + th)
+                & (cb_ref[3, ci] > oy)
             )
-            dma_f = pltpu.make_async_copy(
-                tri_f_ref.at[:, pl.ds(ci * chunk, chunk)], vf_ref, sem_f
+
+            def do_chunk(cr):
+                dma_i = pltpu.make_async_copy(
+                    tri_i_ref.at[:, pl.ds(ci * chunk, chunk)], vi_ref, sem_i
+                )
+                dma_f = pltpu.make_async_copy(
+                    tri_f_ref.at[:, pl.ds(ci * chunk, chunk)], vf_ref, sem_f
+                )
+                dma_i.start()
+                dma_f.start()
+                dma_i.wait()
+                dma_f.wait()
+                return jax.lax.fori_loop(0, chunk, tri_body, cr)
+
+            return jax.lax.cond(chit, do_chunk, lambda cr: cr, carry)
+
+        zero = jnp.zeros((th, tw), jnp.float32)
+        if n_ctx:
+            init = (
+                zero,
+                jnp.full((th, tw), ORDER_NONE, jnp.int32),
+                jnp.full((th, tw), -1, jnp.int32),
+                jnp.zeros((th, tw), jnp.int32),
+                [zero] * n_ctx,
             )
-            dma_i.start()
-            dma_f.start()
-            dma_i.wait()
-            dma_f.wait()
-            return jax.lax.fori_loop(0, chunk, make_tri_body(ci), cr)
+        else:
+            init = (
+                zero,
+                jnp.full((th, tw), ORDER_NONE, jnp.int32),
+                jnp.full((th, tw), -1, jnp.int32),
+            )
+        nchunks = cb_ref.shape[1]
+        out = jax.lax.fori_loop(0, nchunks, chunk_body, init)
+        depth_ref[:] = out[0]
+        worder_ref[:] = out[1]
+        winner_ref[:] = out[2]
+        if n_ctx:
+            ps_ref[:] = out[3]
+            for ch in range(n_ctx):
+                ctx_ref[ch] = out[4][ch]
 
-        return jax.lax.cond(chit, do_chunk, lambda cr: cr, carry)
-
-    nchunks = cb_ref.shape[1]
-    init = (depth_in_ref[:], worder_in_ref[:], winner_in_ref[:])
-    depth, worder, winner = jax.lax.fori_loop(0, nchunks, chunk_body, init)
-    depth_ref[:] = depth
-    worder_ref[:] = worder
-    winner_ref[:] = winner
+    return kernel
 
 
-def _raster_call(
-    cb,
-    tri_i32,
-    tri_f32,
-    depth0,
-    worder0,
-    winner0,
-    *,
-    th,
-    tw,
-    chunk,
-    id_base,
-    interpret,
+def _prep(tri, width, height, tile, chunk, origin, full_size, *, with_ctx):
+    th, tw = tile
+    y_origin, x_origin = origin
+    fh, fw = full_size if full_size is not None else (height, width)
+    h_pad = _cdiv(height, th) * th
+    w_pad = _cdiv(width, tw) * tw
+    m_pad = _cdiv(tri.num_slots, chunk) * chunk
+    tri_i32, tri_f32 = pack_setup(tri, fw, fh, m_pad, with_ctx=with_ctx)
+    tri_i32, tri_f32 = compact_sort(tri_i32, tri_f32, tile, fw)
+    cb = chunk_bounds(tri_i32, chunk)
+    origin_arr = jnp.stack(
+        [jnp.asarray(y_origin, jnp.int32), jnp.asarray(x_origin, jnp.int32)]
+    )
+    return tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad
+
+
+def _call(
+    cb, origin_arr, tri_i32, tri_f32, *, th, tw, chunk, id_base, n_ctx,
+    h_pad, w_pad, interpret
 ):
-    h_pad, w_pad = depth0.shape
     grid = (h_pad // th, w_pad // tw)
     nchunks = cb.shape[1]
+    nf_f = tri_f32.shape[0]
     tile_spec = pl.BlockSpec((th, tw), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM)
-    kernel = functools.partial(
-        _raster_kernel, th=th, tw=tw, chunk=chunk, id_base=id_base
-    )
+    kernel = _make_kernel(th=th, tw=tw, chunk=chunk, id_base=id_base, n_ctx=n_ctx)
+    out_specs = [tile_spec, tile_spec, tile_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+        jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
+        jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
+    ]
+    if n_ctx:
+        out_specs.append(tile_spec)
+        out_shape.append(jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec(
+                (n_ctx, th, tw), lambda ty, tx: (0, ty, tx), memory_space=pltpu.VMEM
+            )
+        )
+        out_shape.append(jax.ShapeDtypeStruct((n_ctx, h_pad, w_pad), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((5, nchunks), lambda ty, tx: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda ty, tx: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            tile_spec,
-            tile_spec,
-            tile_spec,
         ],
-        out_specs=(tile_spec, tile_spec, tile_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.SMEM((NF_I, chunk), jnp.int32),
-            pltpu.SMEM((NF_F, chunk), jnp.float32),
+            pltpu.SMEM((nf_f, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(cb, tri_i32, tri_f32, depth0, worder0, winner0)
+    )(cb, origin_arr, tri_i32, tri_f32)
 
 
 def rasterize_pallas(
@@ -300,36 +406,62 @@ def rasterize_pallas(
     tile: tuple[int, int] = (128, 128),
     chunk: int = 256,
     interpret: bool = False,
+    origin: tuple = (0, 0),
+    full_size: tuple | None = None,
 ):
     """Rasterize to per-pixel (winner (H,W) i32, depth (H,W) f32).
 
     ``chunk`` must be a multiple of 128 (DMA lane alignment).
+    ``origin=(y0, x0)`` renders the sub-rect of a ``full_size`` frame (the
+    reference's width_range/height_range concept, renderer.rs:269-298) —
+    used for multi-device row-slab sharding. Origin may be traced.
     """
     assert chunk % 128 == 0, "chunk must be a multiple of 128"
     th, tw = tile
-    h_pad = _cdiv(height, th) * th
-    w_pad = _cdiv(width, tw) * tw
-    m = tri.num_slots
-    m_pad = _cdiv(m, chunk) * chunk
-
-    tri_i32, tri_f32 = pack_setup(tri, width, height, m_pad)
-    cb = chunk_bounds(tri_i32, chunk)
-
-    depth0 = jnp.zeros((h_pad, w_pad), jnp.float32)
-    worder0 = jnp.full((h_pad, w_pad), ORDER_NONE, jnp.int32)
-    winner0 = jnp.full((h_pad, w_pad), -1, jnp.int32)
-
-    depth, worder, winner = _raster_call(
-        cb,
-        tri_i32,
-        tri_f32,
-        depth0,
-        worder0,
-        winner0,
-        th=th,
-        tw=tw,
-        chunk=chunk,
-        id_base=0,
-        interpret=interpret,
+    tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep(
+        tri, width, height, tile, chunk, origin, full_size, with_ctx=False
+    )
+    depth, worder, winner = _call(
+        cb, origin_arr, tri_i32, tri_f32,
+        th=th, tw=tw, chunk=chunk, id_base=0, n_ctx=0,
+        h_pad=h_pad, w_pad=w_pad, interpret=interpret,
     )
     return winner[:height, :width], depth[:height, :width]
+
+
+def rasterize_interp_pallas(
+    tri: TriangleBuffer,
+    width: int,
+    height: int,
+    *,
+    tile: tuple[int, int] = (128, 128),
+    chunk: int = 256,
+    interpret: bool = False,
+    origin: tuple = (0, 0),
+    full_size: tuple | None = None,
+):
+    """Rasterize + interpolate varyings in one kernel pass.
+
+    Returns ``(ctx (H, W, C) f32, ps_index (H, W) i32, winner (H, W) i32,
+    depth (H, W) f32)`` — ctx/ps are garbage where winner < 0; mask
+    downstream. Equivalent to rasterize_pallas + shade.interpolate_context
+    but without per-pixel gathers from the triangle table.
+    """
+    assert chunk % 128 == 0, "chunk must be a multiple of 128"
+    th, tw = tile
+    n_ctx = tri.ctx.shape[-1]
+    tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep(
+        tri, width, height, tile, chunk, origin, full_size, with_ctx=True
+    )
+    depth, worder, winner, ps, ctx = _call(
+        cb, origin_arr, tri_i32, tri_f32,
+        th=th, tw=tw, chunk=chunk, id_base=0, n_ctx=n_ctx,
+        h_pad=h_pad, w_pad=w_pad, interpret=interpret,
+    )
+    ctx = jnp.moveaxis(ctx[:, :height, :width], 0, -1)
+    return (
+        ctx,
+        ps[:height, :width],
+        winner[:height, :width],
+        depth[:height, :width],
+    )

@@ -116,12 +116,33 @@ def render_frame(
     Fully traceable: wrap in jax.jit holding `draws` structure static.
     """
     tri, stats = build_triangles(draws, vertex_shader, vs_uniform, config)
-    winner, depth = rasterize(tri, config)
-
     example = jax.tree.map(
         lambda l: jnp.zeros(l.shape[2:], jnp.float32), draws[0]
     )
     codec = make_context_codec(vertex_shader, vs_uniform, example)
+
+    if config.backend == "pallas":
+        # Fused raster + varying interpolation: per-pixel gathers from the
+        # triangle table lower to scalar loops on TPU; the kernel
+        # interpolates densely in VMEM instead (raster_pallas.py docstring).
+        from f_renderer_tpu.pipeline.raster_pallas import rasterize_interp_pallas
+        from f_renderer_tpu.pipeline.shade import shade_from_planes
+
+        ctx, ps_idx, winner, depth = rasterize_interp_pallas(
+            tri, config.width, config.height, tile=config.tile
+        )
+        frame = shade_from_planes(
+            ctx,
+            ps_idx,
+            winner,
+            pixel_shader,
+            ps_uniform,
+            codec,
+            background=config.background,
+        )
+        return frame, depth, stats
+
+    winner, depth = rasterize(tri, config)
     frame = shade_deferred(
         tri,
         winner,

@@ -63,6 +63,31 @@ def interpolate_context(
     return ctx, tri.ps_index[wid]
 
 
+def shade_from_planes(
+    ctx: jnp.ndarray,
+    ps_idx: jnp.ndarray,
+    winner: jnp.ndarray,
+    pixel_shader: Callable,
+    ps_uniform,
+    codec: ContextCodec,
+    *,
+    background=(0, 0, 0, 255),
+):
+    """Shade from pre-interpolated context planes (rasterize_interp_pallas).
+
+    ``ctx`` (H, W, C) f32, ``ps_idx``/``winner`` (H, W) i32. Same pixel-shader
+    contract as shade_deferred; background applied where winner < 0.
+    """
+
+    def shade_one(flat, idx):
+        return pixel_shader(ps_uniform, codec.unflatten(flat), idx)
+
+    color = jax.vmap(jax.vmap(shade_one))(ctx, ps_idx)  # (H, W, 4)
+    u8 = jnp.clip(color * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    bg = jnp.asarray(background, jnp.uint8)
+    return jnp.where((winner >= 0)[..., None], u8, bg[None, None, :])
+
+
 def shade_deferred(
     tri: TriangleBuffer,
     winner: jnp.ndarray,

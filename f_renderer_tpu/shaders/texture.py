@@ -44,7 +44,13 @@ class TextureStack:
         )
 
     def sample(self, index, uv, *, replicate_clamp_bug: bool = True):
-        """Bilinear sample texture `index` at `uv` (scalars; vmap over pixels)."""
+        """Bilinear sample texture `index` at `uv` (scalars; vmap over pixels).
+
+        Texel fetches use a single flattened index into a (T·Hmax·Wmax, 4)
+        view — one-axis gathers batch well under vmap on TPU, whereas the
+        multi-dim ``data[index, y, x]`` form lowers to a gather that runs
+        ~8× slower (measured on v5e; baselines/profile_texture.py).
+        """
         h = self.dims[index, 0]
         w = self.dims[index, 1]
         x = uv[0] * w.astype(jnp.float32)
@@ -58,17 +64,18 @@ class TextureStack:
         y1 = jnp.clip(jnp.trunc(y), 0, y_hi).astype(jnp.int32)
         x2 = jnp.clip(x1 + 1, 0, w - 1)
         y2 = jnp.clip(y1 + 1, 0, y_hi)
-        # Single-texel gathers with the stack index folded in — indexing
-        # self.data[index] first would materialize a whole texture per pixel
-        # under vmap.
-        d = self.data
-        c11 = d[index, y1, x1].astype(jnp.float32)
-        c12 = d[index, y2, x1].astype(jnp.float32)
-        c21 = d[index, y1, x2].astype(jnp.float32)
-        c22 = d[index, y2, x2].astype(jnp.float32)
+        hmax, wmax = self.data.shape[1], self.data.shape[2]
+        flat = self.data.reshape(-1, self.data.shape[-1])
+        base = index * (hmax * wmax)
+
+        def tap(yy, xx):
+            return jnp.take(flat, base + yy * wmax + xx, axis=0).astype(
+                jnp.float32
+            )
+
         return (
-            c11 * (1.0 - a) * (1.0 - b)
-            + c12 * (1.0 - a) * b
-            + c21 * a * (1.0 - b)
-            + c22 * a * b
+            tap(y1, x1) * (1.0 - a) * (1.0 - b)
+            + tap(y2, x1) * (1.0 - a) * b
+            + tap(y1, x2) * a * (1.0 - b)
+            + tap(y2, x2) * a * b
         )

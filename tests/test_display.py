@@ -1,0 +1,88 @@
+"""Display/presentation layer + metrics + scene serialization tests."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+
+def test_render_loop_double_buffer_order():
+    from f_renderer_tpu.display import Display, render_loop
+
+    presented = []
+
+    class Rec(Display):
+        def present(self, frame):
+            presented.append(int(frame[0, 0, 0]))
+
+    def step(state, event):
+        frame = np.full((2, 2, 4), state, np.uint8)
+        return frame, state + 1
+
+    final = render_loop(step, 0, Rec(), frames=5, print_fps=False)
+    assert final == 5
+    assert presented == [0, 1, 2, 3, 4]  # all frames, in order
+
+
+def test_raw_stream_display():
+    from f_renderer_tpu.display import RawStreamDisplay
+
+    buf = io.BytesIO()
+    frame = np.arange(2 * 3 * 4, dtype=np.uint8).reshape(2, 3, 4)
+    RawStreamDisplay(buf).present(frame)
+    assert buf.getvalue() == frame.tobytes()
+
+
+def test_png_sequence_display(tmp_path):
+    from f_renderer_tpu.display import PngSequenceDisplay
+    from f_renderer_tpu import native
+
+    d = PngSequenceDisplay(str(tmp_path))
+    frame = np.random.default_rng(0).integers(0, 255, (8, 8, 4), np.uint8)
+    d.present(frame)
+    d.present(frame)
+    assert sorted(os.listdir(tmp_path)) == ["frame_0000.png", "frame_0001.png"]
+    if native.is_available():
+        back = native.read_png(str(tmp_path / "frame_0001.png"))
+        np.testing.assert_array_equal(back, frame)
+
+
+def test_frame_stats():
+    import jax.numpy as jnp
+
+    from f_renderer_tpu.pipeline import RenderConfig
+    from f_renderer_tpu.pipeline.render import build_triangles
+    from f_renderer_tpu.pipeline.raster_jnp import rasterize_jnp
+    from f_renderer_tpu.scene import make_cube, make_phong_scene
+    from f_renderer_tpu.utils import FrameStats
+
+    scene = make_phong_scene(64, 48, meshes=[make_cube()], clip_cap=16)
+    tri, stats = build_triangles(
+        scene.draws, scene.vertex_shader, scene.vs_uniform, scene.config
+    )
+    winner, _ = rasterize_jnp(tri, 64, 48)
+    fs = FrameStats.gather(tri, winner, stats["num_clipped"], 12)
+    d = fs.as_dict()
+    assert d["triangles_in"] == 12
+    assert d["triangles_emitted"] >= 6
+    assert 0 < d["pixels_covered"] < 64 * 48
+
+
+def test_scene_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from f_renderer_tpu.io.scene_io import load_scene, save_scene
+    from f_renderer_tpu.scene import make_cube, make_phong_scene
+
+    scene = make_phong_scene(32, 24, meshes=[make_cube()], clip_cap=8)
+    path = str(tmp_path / "scene.npz")
+    save_scene(path, scene)
+    back = load_scene(path)
+    assert back.config == scene.config
+    np.testing.assert_array_equal(
+        np.asarray(back.draws[0]["pos"]), np.asarray(scene.draws[0]["pos"])
+    )
+    f1, _, _ = scene.render()
+    f2, _, _ = back.render()
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))

@@ -61,6 +61,55 @@ def test_matches_jnp_small_chunks(rng):
     assert_same(buf, chunk=128, tile=(32, 128))
 
 
+def test_origin_slab_matches_full_frame(rng):
+    # Row-slab rendering via origin/full_size must reproduce the full-frame
+    # result slab by slab (the multi-device sp-sharding path).
+    buf = make_buffer(rng)
+    winner_f, depth_f = rasterize_pallas(buf, W, H, interpret=True)
+    slab = H // 4
+    for k in range(4):
+        winner_s, depth_s = rasterize_pallas(
+            buf,
+            W,
+            slab,
+            interpret=True,
+            origin=(k * slab, 0),
+            full_size=(H, W),
+            tile=(32, 128),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(winner_s), np.asarray(winner_f)[k * slab : (k + 1) * slab]
+        )
+        np.testing.assert_allclose(
+            np.asarray(depth_s),
+            np.asarray(depth_f)[k * slab : (k + 1) * slab],
+            rtol=1e-6,
+        )
+
+
+def test_interp_matches_deferred(rng):
+    # Fused in-kernel varying interpolation vs rasterize_jnp +
+    # interpolate_context (the deferred path).
+    from f_renderer_tpu.pipeline.raster_pallas import rasterize_interp_pallas
+    from f_renderer_tpu.pipeline.shade import interpolate_context
+
+    buf = make_buffer(rng)
+    ctx_p, ps_p, winner_p, depth_p = rasterize_interp_pallas(
+        buf, W, H, interpret=True, tile=(32, 128)
+    )
+    winner_j, depth_j = rasterize_jnp(buf, W, H)
+    np.testing.assert_array_equal(np.asarray(winner_p), np.asarray(winner_j))
+    np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_j), rtol=1e-6)
+    ctx_j, ps_j = interpolate_context(buf, winner_j, W, H)
+    hit = np.asarray(winner_j) >= 0
+    np.testing.assert_array_equal(
+        np.asarray(ps_p)[hit], np.asarray(ps_j)[hit]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ctx_p)[hit], np.asarray(ctx_j)[hit], rtol=1e-5, atol=1e-6
+    )
+
+
 def test_empty_buffer():
     import jax
 
