@@ -156,6 +156,7 @@ def render_frame_sharded(
             codec,
             background=config.background,
             origin=(y0, 0),
+            vectorized=config.shade_vectorized,
         )
         return frame, depth
 

@@ -1,0 +1,270 @@
+"""Fully fused single-kernel renderer: raster + interp + shade + pack.
+
+For the built-in shader family (flat / gouraud / textured / phong — the
+reference's example shaders, phong.rs:114-154), the whole per-pixel pipeline
+runs inside one Pallas kernel: the triangle loop leaves depth / ps / varying
+planes in VMEM registers, then a planar shading epilogue computes lighting,
+samples textures with in-VMEM 128-lane gathers (see
+shaders/texture_pallas.py for the technique), and packs RGBA8 into one u32
+plane — no intermediate HBM traffic between raster and shade.
+
+Channel layout note: inside a TPU kernel the last two dims are (sublane,
+lane) tiles, so (H, W, 3)-shaped math would waste 125/128 lanes. The
+epilogues therefore operate on per-channel (th, tw) planes — which is why
+this path is restricted to shaders the module knows how to planarize
+(pixel shaders tagged with ``fused_kind`` by shaders/builtin.py). Custom
+shaders use the non-fused pallas path (XLA shading) automatically.
+
+Varying channel order matches the ContextCodec dict-key sort:
+flat/gouraud → color; textured → uv; phong → normal(3), pos(3), uv(2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from f_renderer_tpu.pipeline.raster_pallas import (
+    NF_I,
+    _cdiv,
+    _make_kernel,
+    _prep,
+)
+from f_renderer_tpu.pipeline.types import TriangleBuffer
+
+LANES = 128
+
+
+def _rsqrt(x):
+    return jax.lax.rsqrt(x)
+
+
+def _normalize3(x, y, z):
+    inv = _rsqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _sample_planar(tex_ref, dims_ref, t_count, hmax, ps, u, v, shape):
+    """Planar bilinear sample: (th, 128) planes → 4 (th, 128) planes.
+
+    Mirrors FrameBuffer::sample_2d (renderer.rs:516-538) incl. the y/width
+    clamp quirk; ps < 0 pixels are excluded from the row range (garbage out,
+    masked by the caller).
+    """
+    h = jnp.zeros(shape, jnp.int32)
+    w = jnp.zeros(shape, jnp.int32)
+    for t in range(t_count):
+        sel = ps == t
+        h = jnp.where(sel, dims_ref[t, 0], h)
+        w = jnp.where(sel, dims_ref[t, 1], w)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = u * wf
+    y = v * hf
+    a = x - jnp.trunc(x)
+    b = y - jnp.trunc(y)
+    x = jnp.where(jnp.isnan(x), 0.0, x)
+    y = jnp.where(jnp.isnan(y), 0.0, y)
+    y_hi = w - 1  # quirk: width, not height (renderer.rs:523-525)
+    x1 = jnp.clip(jnp.trunc(x), 0.0, wf - 1.0).astype(jnp.int32)
+    y1 = jnp.clip(jnp.trunc(y), 0.0, y_hi.astype(jnp.float32)).astype(jnp.int32)
+    x2 = jnp.minimum(x1 + 1, w - 1)
+    y2 = jnp.minimum(y1 + 1, y_hi)
+    valid = ps >= 0
+    x1 = jnp.maximum(x1, 0)
+    x2 = jnp.maximum(x2, 0)
+    row1 = jnp.where(valid, ps * hmax + jnp.maximum(y1, 0), 0)
+    row2 = jnp.where(valid, ps * hmax + jnp.maximum(y2, 0), 0)
+    nrows = t_count * hmax
+    rmin = jnp.min(jnp.where(valid, row1, nrows - 1))
+    rmax = jnp.max(jnp.where(valid, row2, 0))
+
+    wx1 = 1.0 - a
+    wx2 = a
+    wy1 = 1.0 - b
+    wy2 = b
+
+    def row_body(r, acc):
+        wy = jnp.where(row1 == r, wy1, 0.0) + jnp.where(row2 == r, wy2, 0.0)
+        new = []
+        for c in range(4):
+            trow = jnp.broadcast_to(tex_ref[c, pl.ds(r, 1), :], shape)
+            g1 = jnp.take_along_axis(trow, x1, axis=1)
+            g2 = jnp.take_along_axis(trow, x2, axis=1)
+            new.append(acc[c] + wy * (wx1 * g1 + wx2 * g2))
+        return tuple(new)
+
+    return jax.lax.fori_loop(
+        rmin, rmax + 1, row_body, tuple(jnp.zeros(shape, jnp.float32) for _ in range(4))
+    )
+
+
+def _phong_light_planar(nx, ny, nz, px, py, pz, view_pos, light_pos, light_color):
+    """Planar mirror of builtin._phong_lighting (phong.rs:133-144)."""
+    lp = light_pos
+    lc = light_color
+    nx, ny, nz = _normalize3(nx, ny, nz)
+    ldx, ldy, ldz = _normalize3(lp[0] - px, lp[1] - py, lp[2] - pz)
+    diff = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+    vdx, vdy, vdz = _normalize3(view_pos[0] - px, view_pos[1] - py, view_pos[2] - pz)
+    # reflect(-light_dir, n) = normalize(2 (L·N) N − L), L = -light_dir
+    d = -(ldx * nx + ldy * ny + ldz * nz)
+    rx, ry, rz = _normalize3(2.0 * d * nx + ldx, 2.0 * d * ny + ldy, 2.0 * d * nz + ldz)
+    spec = jnp.maximum(vdx * rx + vdy * ry + vdz * rz, 0.0) ** 32
+    return tuple(0.1 * lc[c] + diff * lc[c] + 0.5 * spec * lc[c] for c in range(3))
+
+
+def _make_epilogue(kind, *, t_count, hmax, bg_packed, light_pos, light_color):
+    def epilogue(depth, worder, winner, ps, ctx, refs):
+        uni_ref, dims_ref, tex_ref, rgba_ref, depth_ref, winner_ref = refs
+        shape = depth.shape
+        psm = jnp.where(winner >= 0, ps, -1)
+        view_pos = (uni_ref[0], uni_ref[1], uni_ref[2])
+
+        if kind == "flat":
+            color = (ctx[0], ctx[1], ctx[2], ctx[3])
+        elif kind == "gouraud":
+            color = (ctx[0], ctx[1], ctx[2], jnp.ones(shape, jnp.float32))
+        elif kind == "textured":
+            color = _sample_planar(
+                tex_ref, dims_ref, t_count, hmax, psm, ctx[0], ctx[1], shape
+            )
+        elif kind == "phong":
+            light = _phong_light_planar(
+                ctx[0], ctx[1], ctx[2], ctx[3], ctx[4], ctx[5],
+                view_pos, light_pos, light_color,
+            )
+            tex = _sample_planar(
+                tex_ref, dims_ref, t_count, hmax, psm, ctx[6], ctx[7], shape
+            )
+            color = (tex[0] * light[0], tex[1] * light[1], tex[2] * light[2], tex[3])
+        else:
+            raise ValueError(kind)
+
+        def u8(p):
+            return jnp.clip(p * 255.0, 0.0, 255.0).astype(jnp.int32)
+
+        packed = (
+            u8(color[0])
+            | (u8(color[1]) << 8)
+            | (u8(color[2]) << 16)
+            | (u8(color[3]) << 24)
+        )
+        rgba_ref[:] = jnp.where(winner >= 0, packed, jnp.int32(bg_packed))
+        depth_ref[:] = depth
+        winner_ref[:] = winner
+
+    return epilogue
+
+
+def prep_texture_cm(data):
+    """(T, Hmax, Wmax, 4) → channel-major (4, T·Hmax, 128) for VMEM."""
+    t, hmax, wmax = data.shape[0], data.shape[1], data.shape[2]
+    assert wmax <= LANES, "texture wider than 128 lanes — fused path unavailable"
+    cm = jnp.transpose(data.astype(jnp.float32), (3, 0, 1, 2)).reshape(
+        4, t * hmax, wmax
+    )
+    if wmax < LANES:
+        cm = jnp.pad(cm, ((0, 0), (0, 0), (0, LANES - wmax)))
+    return cm
+
+
+def render_fused_pallas(
+    tri: TriangleBuffer,
+    pixel_shader,
+    ps_uniform,
+    config,
+    *,
+    interpret: bool = False,
+):
+    """One-kernel render for ``fused_kind``-tagged pixel shaders.
+
+    Returns (frame (H, W, 4) u8, depth (H, W) f32, winner (H, W) i32).
+    """
+    kind = pixel_shader.fused_kind
+    light_pos = getattr(pixel_shader, "light_pos", (1.2, 1.0, 2.0))
+    light_color = getattr(pixel_shader, "light_color", (1.0, 1.0, 1.0))
+    width, height = config.width, config.height
+    th, tw = config.tile
+    assert tw == LANES, "fused path requires tile width 128"
+    chunk = 256
+    n_ctx = tri.ctx.shape[-1]
+
+    tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep(
+        tri, width, height, (th, tw), chunk, (0, 0), None, with_ctx=True
+    )
+
+    stack = ps_uniform.get("textures") if hasattr(ps_uniform, "get") else None
+    if stack is not None and kind in ("textured", "phong"):
+        texcm = prep_texture_cm(stack.data)
+        dims = stack.dims.astype(jnp.int32)
+    else:
+        texcm = jnp.zeros((4, 1, LANES), jnp.float32)
+        dims = jnp.ones((1, 2), jnp.int32)
+    t_count, hmax = dims.shape[0], texcm.shape[1] // dims.shape[0]
+
+    view_pos = ps_uniform.get("view_pos") if hasattr(ps_uniform, "get") else None
+    uni = jnp.zeros((8,), jnp.float32)
+    if view_pos is not None:
+        uni = uni.at[:3].set(jnp.asarray(view_pos, jnp.float32))
+
+    bg = config.background
+    bg_packed = int(bg[0]) | (int(bg[1]) << 8) | (int(bg[2]) << 16) | (
+        int(bg[3]) << 24
+    )
+    if bg_packed >= 2**31:
+        bg_packed -= 2**32
+
+    epilogue = _make_epilogue(
+        kind,
+        t_count=t_count,
+        hmax=hmax,
+        bg_packed=bg_packed,
+        light_pos=light_pos,
+        light_color=light_color,
+    )
+    kernel = _make_kernel(
+        th=th, tw=tw, chunk=chunk, id_base=0, n_ctx=n_ctx, epilogue=epilogue
+    )
+
+    grid = (h_pad // th, w_pad // tw)
+    nchunks = cb.shape[1]
+    nf_f = tri_f32.shape[0]
+    tile_spec = pl.BlockSpec((th, tw), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM)
+    rgba, depth, winner = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((5, nchunks), lambda ty, tx: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((2,), lambda ty, tx: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8,), lambda ty, tx: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                dims.shape, lambda ty, tx: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                texcm.shape, lambda ty, tx: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(tile_spec, tile_spec, tile_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((NF_I, chunk), jnp.int32),
+            pltpu.SMEM((nf_f, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(cb, origin_arr, tri_i32, tri_f32, uni, dims, texcm)
+
+    frame = jax.lax.bitcast_convert_type(rgba[:height, :width], jnp.uint8)
+    return frame, depth[:height, :width], winner[:height, :width]

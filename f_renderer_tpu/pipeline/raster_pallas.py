@@ -176,11 +176,22 @@ def chunk_bounds(tri_i32, chunk: int):
     return jnp.stack([cminx, cmaxx, cminy, cmaxy, cany])
 
 
-def _make_kernel(*, th: int, tw: int, chunk: int, id_base: int, n_ctx: int):
-    """Build the raster kernel body; n_ctx=0 → winner/depth only."""
+def _make_kernel(
+    *, th: int, tw: int, chunk: int, id_base: int, n_ctx: int, epilogue=None
+):
+    """Build the raster kernel body.
+
+    n_ctx=0 → winner/depth only; n_ctx>0 → additionally carries interpolated
+    varying planes. With ``epilogue`` (fused shading, pipeline/fused.py) the
+    trailing refs are (uni, dims, tex, rgba_out, depth_out, winner_out) and
+    the epilogue consumes the final carries instead of the default stores.
+    """
 
     def kernel(cb_ref, origin_ref, tri_i_ref, tri_f_ref, *rest):
-        if n_ctx:
+        if epilogue is not None:
+            (uni_ref, dims_ref, tex_ref, rgba_ref, depth_ref, winner_ref,
+             vi_ref, vf_ref, sem_i, sem_f) = rest
+        elif n_ctx:
             (depth_ref, worder_ref, winner_ref, ps_ref, ctx_ref,
              vi_ref, vf_ref, sem_i, sem_f) = rest
         else:
@@ -326,6 +337,12 @@ def _make_kernel(*, th: int, tw: int, chunk: int, id_base: int, n_ctx: int):
             )
         nchunks = cb_ref.shape[1]
         out = jax.lax.fori_loop(0, nchunks, chunk_body, init)
+        if epilogue is not None:
+            epilogue(
+                out[0], out[1], out[2], out[3], out[4],
+                (uni_ref, dims_ref, tex_ref, rgba_ref, depth_ref, winner_ref),
+            )
+            return
         depth_ref[:] = out[0]
         worder_ref[:] = out[1]
         winner_ref[:] = out[2]

@@ -30,9 +30,18 @@ class RenderConfig:
     height: int
     background: tuple = (0, 0, 0, 255)
     clip_cap: int = 256
-    tile: tuple = (64, 128)
+    # (16, 128) is the measured sweet spot for the fused pallas raster+interp
+    # kernel at 1080p (baselines/profile_raster.py); the jnp path reshapes
+    # to tiles only for memory bounding, where it matters little.
+    tile: tuple = (16, 128)
     backend: str = "jnp"  # "jnp" | "pallas"
     replicate_ps_boundary_quirk: bool = True
+    # Batched pixel-shader calls (see shade.shade_from_planes). Set False
+    # for scalar-style custom shaders that cannot broadcast.
+    shade_vectorized: bool = True
+    # Single-kernel raster+shade for fused_kind-tagged shaders
+    # (pipeline/fused.py); falls back automatically for custom shaders.
+    fused_shade: bool = True
 
 
 def apply_ps_boundary_quirk(tri: TriangleBuffer, num_draws: int) -> TriangleBuffer:
@@ -122,6 +131,15 @@ def render_frame(
     codec = make_context_codec(vertex_shader, vs_uniform, example)
 
     if config.backend == "pallas":
+        if config.fused_shade and hasattr(pixel_shader, "fused_kind"):
+            # Whole per-pixel pipeline in one kernel (pipeline/fused.py).
+            from f_renderer_tpu.pipeline.fused import render_fused_pallas
+
+            frame, depth, _ = render_fused_pallas(
+                tri, pixel_shader, ps_uniform, config
+            )
+            return frame, depth, stats
+
         # Fused raster + varying interpolation: per-pixel gathers from the
         # triangle table lower to scalar loops on TPU; the kernel
         # interpolates densely in VMEM instead (raster_pallas.py docstring).
@@ -139,6 +157,7 @@ def render_frame(
             ps_uniform,
             codec,
             background=config.background,
+            vectorized=config.shade_vectorized,
         )
         return frame, depth, stats
 
@@ -150,5 +169,6 @@ def render_frame(
         ps_uniform,
         codec,
         background=config.background,
+        vectorized=config.shade_vectorized,
     )
     return frame, depth, stats

@@ -72,17 +72,29 @@ def shade_from_planes(
     codec: ContextCodec,
     *,
     background=(0, 0, 0, 255),
+    vectorized: bool = True,
 ):
     """Shade from pre-interpolated context planes (rasterize_interp_pallas).
 
     ``ctx`` (H, W, C) f32, ``ps_idx``/``winner`` (H, W) i32. Same pixel-shader
     contract as shade_deferred; background applied where winner < 0.
+
+    ``vectorized=True`` calls the pixel shader ONCE with (H, W)-batched
+    context leaves — shaders must broadcast (last-axis reductions), which all
+    built-ins do. Per-pixel vmap lowers texture/table gathers far worse on
+    TPU; set ``vectorized=False`` only for scalar-style custom shaders.
     """
+    # Background pixels carry garbage ctx; ps_index = -1 marks them so
+    # samplers can exclude them (their color is replaced below anyway).
+    ps_idx = jnp.where(winner >= 0, ps_idx, -1)
+    if vectorized:
+        color = pixel_shader(ps_uniform, codec.unflatten(ctx), ps_idx)
+    else:
 
-    def shade_one(flat, idx):
-        return pixel_shader(ps_uniform, codec.unflatten(flat), idx)
+        def shade_one(flat, idx):
+            return pixel_shader(ps_uniform, codec.unflatten(flat), idx)
 
-    color = jax.vmap(jax.vmap(shade_one))(ctx, ps_idx)  # (H, W, 4)
+        color = jax.vmap(jax.vmap(shade_one))(ctx, ps_idx)  # (H, W, 4)
     u8 = jnp.clip(color * 255.0, 0.0, 255.0).astype(jnp.uint8)
     bg = jnp.asarray(background, jnp.uint8)
     return jnp.where((winner >= 0)[..., None], u8, bg[None, None, :])
@@ -97,19 +109,22 @@ def shade_deferred(
     *,
     background=(0, 0, 0, 255),
     origin: tuple = (0, 0),
+    vectorized: bool = True,
 ):
     """Run the pixel shader over the frame; returns (H, W, 4) uint8.
 
-    ``pixel_shader(ps_uniform, context_pytree, ps_index) -> rgba (4,) f32``
-    is vmapped over pixels (ps_uniform broadcast).
+    ``pixel_shader(ps_uniform, context_pytree, ps_index) -> rgba (..., 4)``.
+    See shade_from_planes for the ``vectorized`` contract.
     """
     h, w = winner.shape
     ctx_flat, ps_idx = interpolate_context(tri, winner, w, h, origin=origin)
-
-    def shade_one(flat, idx):
-        return pixel_shader(ps_uniform, codec.unflatten(flat), idx)
-
-    color = jax.vmap(jax.vmap(shade_one))(ctx_flat, ps_idx)  # (H, W, 4)
-    u8 = jnp.clip(color * 255.0, 0.0, 255.0).astype(jnp.uint8)
-    bg = jnp.asarray(background, jnp.uint8)
-    return jnp.where((winner >= 0)[..., None], u8, bg[None, None, :])
+    return shade_from_planes(
+        ctx_flat,
+        ps_idx,
+        winner,
+        pixel_shader,
+        ps_uniform,
+        codec,
+        background=background,
+        vectorized=vectorized,
+    )

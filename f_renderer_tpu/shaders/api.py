@@ -31,11 +31,13 @@ class ContextCodec:
         )
 
     def unflatten(self, flat: jnp.ndarray):
+        """Inverse of flatten; ``flat`` may carry leading batch dims (..., C)."""
+        batch = tuple(flat.shape[:-1])
         leaves = []
         i = 0
         for sh in self.shapes:
             n = math.prod(sh) if sh else 1
-            leaves.append(flat[i : i + n].reshape(sh))
+            leaves.append(flat[..., i : i + n].reshape(batch + sh))
             i += n
         return jax.tree.unflatten(self.treedef, leaves)
 

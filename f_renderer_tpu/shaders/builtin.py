@@ -42,18 +42,29 @@ class FlatShader:
         return ctx["color"]
 
 
+FlatShader.pixel.fused_kind = "flat"
+
+
 def _phong_lighting(normal, world_pos, view_pos, light_pos, light_color):
-    """The phong.rs:133-144 lighting sum (ambient + lambert + specular)."""
+    """The phong.rs:133-144 lighting sum (ambient + lambert + specular).
+
+    Batch-polymorphic: inputs may carry leading pixel dims; all reductions
+    are over the last axis (the pipeline shades whole frames in one call —
+    shade.py — rather than vmapping per pixel).
+    """
     lc = jnp.asarray(light_color, jnp.float32)
     lp = jnp.asarray(light_pos, jnp.float32)
     ambient = lc * AMBIENT_STRENGTH
     n = normalize(normal)
     light_dir = normalize(lp - world_pos)
-    diff = jnp.maximum(jnp.dot(n, light_dir), 0.0)
+    diff = jnp.maximum(jnp.sum(n * light_dir, axis=-1, keepdims=True), 0.0)
     diffuse = diff * lc
     view_dir = normalize(view_pos - world_pos)
     reflect_dir = reflect(-light_dir, n)
-    spec = jnp.maximum(jnp.dot(view_dir, reflect_dir), 0.0) ** SHININESS
+    spec = (
+        jnp.maximum(jnp.sum(view_dir * reflect_dir, axis=-1, keepdims=True), 0.0)
+        ** SHININESS
+    )
     specular = SPECULAR_STRENGTH * spec * lc
     return ambient + diffuse + specular
 
@@ -80,8 +91,13 @@ def make_phong_shaders(light_pos=LIGHT_POS, light_color=LIGHT_COLOR):
             ctx["normal"], ctx["pos"], u["view_pos"], light_pos, light_color
         )
         color = u["textures"].sample(ps_index, ctx["uv"])
-        return color * jnp.concatenate([light, jnp.ones((1,), jnp.float32)])
+        one = jnp.ones_like(light[..., :1])
+        return color * jnp.concatenate([light, one], axis=-1)
 
+    # metadata for the fused single-kernel path (pipeline/fused.py)
+    pixel.fused_kind = "phong"
+    pixel.light_pos = tuple(light_pos)
+    pixel.light_color = tuple(light_color)
     return vertex, pixel
 
 
@@ -95,6 +111,7 @@ def make_textured_shaders():
     def pixel(u, ctx, ps_index):
         return u["textures"].sample(ps_index, ctx["uv"])
 
+    pixel.fused_kind = "textured"
     return vertex, pixel
 
 
@@ -116,6 +133,8 @@ def make_gouraud_shaders(light_pos=LIGHT_POS, light_color=LIGHT_COLOR):
         return clip, {"color": base * light}
 
     def pixel(u, ctx, ps_index):
-        return jnp.concatenate([ctx["color"], jnp.ones((1,), jnp.float32)])
+        one = jnp.ones_like(ctx["color"][..., :1])
+        return jnp.concatenate([ctx["color"], one], axis=-1)
 
+    pixel.fused_kind = "gouraud"
     return vertex, pixel

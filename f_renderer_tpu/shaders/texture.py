@@ -16,6 +16,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Pallas sampler dispatch: None = auto (TPU backend, batched call, texture
+# width ≤ 128 lanes), True/False = force. See texture_pallas.py.
+USE_PALLAS_SAMPLER: bool | None = None
+
+
+def _pallas_sampler_ok(data, index) -> bool:
+    if USE_PALLAS_SAMPLER is not None:
+        return USE_PALLAS_SAMPLER
+    return (
+        index.ndim >= 1
+        and data.shape[2] <= 128
+        and jax.default_backend() == "tpu"
+    )
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -44,19 +58,41 @@ class TextureStack:
         )
 
     def sample(self, index, uv, *, replicate_clamp_bug: bool = True):
-        """Bilinear sample texture `index` at `uv` (scalars; vmap over pixels).
+        """Bilinear sample; batched or scalar (``index`` (...,), ``uv`` (..., 2)).
 
-        Texel fetches use a single flattened index into a (T·Hmax·Wmax, 4)
-        view — one-axis gathers batch well under vmap on TPU, whereas the
-        multi-dim ``data[index, y, x]`` form lowers to a gather that runs
-        ~8× slower (measured on v5e; baselines/profile_texture.py).
+        TPU notes (measured, baselines/profile_texture.py / profile_shade2.py):
+        texel fetches use a single flattened index into a (T·Hmax·Wmax, 4)
+        view — one-axis gathers lower well, whereas the multi-dim
+        ``data[index, y, x]`` form runs ~8× slower; and the per-pixel (T, 2)
+        dims lookup is a static unrolled select, because gathering it costs
+        ~5× the whole sampling.
+
+        On TPU with batched inputs, dispatches to the Pallas in-VMEM sampler
+        (texture_pallas.py) — ~10× the XLA gather path.
         """
-        h = self.dims[index, 0]
-        w = self.dims[index, 1]
-        x = uv[0] * w.astype(jnp.float32)
-        y = uv[1] * h.astype(jnp.float32)
-        a = x - jnp.trunc(x)
-        b = y - jnp.trunc(y)
+        index = jnp.asarray(index)
+        if _pallas_sampler_ok(self.data, index):
+            from f_renderer_tpu.shaders.texture_pallas import (
+                sample_bilinear_pallas,
+            )
+
+            return sample_bilinear_pallas(
+                self.data.astype(jnp.float32),
+                self.dims,
+                index,
+                jnp.asarray(uv, jnp.float32),
+                replicate_clamp_bug=replicate_clamp_bug,
+            )
+        h = jnp.int32(0)
+        w = jnp.int32(0)
+        for t in range(self.data.shape[0]):
+            sel = index == t
+            h = jnp.where(sel, self.dims[t, 0], h)
+            w = jnp.where(sel, self.dims[t, 1], w)
+        x = uv[..., 0] * w.astype(jnp.float32)
+        y = uv[..., 1] * h.astype(jnp.float32)
+        a = (x - jnp.trunc(x))[..., None]
+        b = (y - jnp.trunc(y))[..., None]
         y_hi = (w if replicate_clamp_bug else h) - 1
         x = jnp.where(jnp.isnan(x), 0.0, x)
         y = jnp.where(jnp.isnan(y), 0.0, y)

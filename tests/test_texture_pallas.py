@@ -1,0 +1,61 @@
+"""Pallas texture sampler (interpret mode) vs the XLA flat-take sampler."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from f_renderer_tpu.shaders import texture as texture_mod
+from f_renderer_tpu.shaders.texture import TextureStack
+from f_renderer_tpu.shaders.texture_pallas import sample_bilinear_pallas
+
+
+def make_stack(rng, t=3, h=64, w=64):
+    texs = [rng.random((h, w, 4)).astype(np.float32) for _ in range(t)]
+    return TextureStack.create(texs)
+
+
+def xla_sample(stack, idx, uv):
+    old = texture_mod.USE_PALLAS_SAMPLER
+    texture_mod.USE_PALLAS_SAMPLER = False
+    try:
+        return stack.sample(jnp.asarray(idx), jnp.asarray(uv))
+    finally:
+        texture_mod.USE_PALLAS_SAMPLER = old
+
+
+def test_matches_xla_sampler(rng):
+    stack = make_stack(rng)
+    idx = jnp.asarray(rng.integers(0, 3, (17, 33)), jnp.int32)
+    uv = jnp.asarray(rng.random((17, 33, 2)), jnp.float32)
+    ref = np.asarray(xla_sample(stack, idx, uv))
+    out = np.asarray(
+        sample_bilinear_pallas(stack.data, stack.dims, idx, uv, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_out_of_range_uv_and_invalid(rng):
+    stack = make_stack(rng, t=2, h=16, w=16)
+    idx = jnp.asarray([[0, 1, -1, 0]], jnp.int32)
+    uv = jnp.asarray(
+        [[[1.5, -0.5], [2.0, 2.0], [0.3, 0.3], [-1.0, 0.99]]], jnp.float32
+    )
+    ref = np.asarray(xla_sample(stack, idx, uv))
+    out = np.asarray(
+        sample_bilinear_pallas(stack.data, stack.dims, idx, uv, interpret=True)
+    )
+    valid = np.asarray(idx) >= 0
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=1e-6, atol=1e-6)
+
+
+def test_nonsquare_clamp_quirk(rng):
+    # h=32, w=16: the y clamp uses width (renderer.rs:523-525)
+    stack = TextureStack.create([rng.random((32, 16, 4)).astype(np.float32)])
+    idx = jnp.zeros((4, 8), jnp.int32)
+    uv = jnp.asarray(rng.random((4, 8, 2)), jnp.float32)
+    ref = np.asarray(xla_sample(stack, idx, uv))
+    out = np.asarray(
+        sample_bilinear_pallas(stack.data, stack.dims, idx, uv, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
