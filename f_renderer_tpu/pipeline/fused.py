@@ -33,6 +33,7 @@ from f_renderer_tpu.pipeline.raster_pallas import (
     _cdiv,
     _make_kernel,
     _prep,
+    _prep_binned,
 )
 from f_renderer_tpu.pipeline.types import TriangleBuffer
 
@@ -191,12 +192,27 @@ def render_fused_pallas(
     width, height = config.width, config.height
     th, tw = config.tile
     assert tw == LANES, "fused path requires tile width 128"
-    chunk = 256
     n_ctx = tri.ctx.shape[-1]
-
-    tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep(
-        tri, width, height, (th, tw), chunk, (0, 0), None, with_ctx=True
-    )
+    binned = getattr(config, "raster_binned", True)
+    if binned:
+        chunk = 128
+        # pair-expansion cap: generous for normal scenes, tight for huge
+        # triangle counts (pair tables scale with k · slots)
+        k = 8 if tri.num_slots <= 300_000 else 2
+        tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep_binned(
+            tri, width, height, (th, tw), chunk, k, with_ctx=True
+        )
+        cb_spec = pl.BlockSpec(
+            cb.shape, lambda ty, tx: (0,), memory_space=pltpu.SMEM
+        )
+    else:
+        chunk = 256
+        tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep(
+            tri, width, height, (th, tw), chunk, (0, 0), None, with_ctx=True
+        )
+        cb_spec = pl.BlockSpec(
+            (5, cb.shape[1]), lambda ty, tx: (0, 0), memory_space=pltpu.SMEM
+        )
 
     stack = ps_uniform.get("textures") if hasattr(ps_uniform, "get") else None
     if stack is not None and kind in ("textured", "phong"):
@@ -228,18 +244,18 @@ def render_fused_pallas(
         light_color=light_color,
     )
     kernel = _make_kernel(
-        th=th, tw=tw, chunk=chunk, id_base=0, n_ctx=n_ctx, epilogue=epilogue
+        th=th, tw=tw, chunk=chunk, id_base=0, n_ctx=n_ctx, epilogue=epilogue,
+        binned=binned,
     )
 
     grid = (h_pad // th, w_pad // tw)
-    nchunks = cb.shape[1]
     nf_f = tri_f32.shape[0]
     tile_spec = pl.BlockSpec((th, tw), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM)
     rgba, depth, winner = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((5, nchunks), lambda ty, tx: (0, 0), memory_space=pltpu.SMEM),
+            cb_spec,
             pl.BlockSpec((2,), lambda ty, tx: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -257,12 +273,21 @@ def render_fused_pallas(
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
             jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.SMEM((NF_I, chunk), jnp.int32),
-            pltpu.SMEM((nf_f, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.SMEM((2, NF_I, chunk), jnp.int32),
+                pltpu.SMEM((2, nf_f, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if binned
+            else [
+                pltpu.SMEM((NF_I, chunk), jnp.int32),
+                pltpu.SMEM((nf_f, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+            ]
+        ),
         interpret=interpret,
     )(cb, origin_arr, tri_i32, tri_f32, uni, dims, texcm)
 

@@ -176,8 +176,67 @@ def chunk_bounds(tri_i32, chunk: int):
     return jnp.stack([cminx, cmaxx, cminy, cmaxy, cany])
 
 
+def bin_pairs(tri_i32, tile: tuple[int, int], grid_hw: tuple[int, int], k: int, chunk: int, m_dummy: int):
+    """Exact per-tile triangle lists via (tile, triangle) pair expansion.
+
+    Each triangle emits one pair per covered tile (bbox ∩ tile grid), up to
+    ``k`` pairs; triangles spanning more than ``k`` tiles go to a shared
+    spill bucket that every tile scans (gated). Pairs are sorted by tile id,
+    giving per-tile contiguous ranges:
+
+    Returns ``(pair_tri (Npad,) i32 — triangle ids in tile order, dummy
+    ``m_dummy`` in padding, off (ntiles+2,) i32 — off[t]..off[t+1] is tile
+    t's pair range, off[ntiles]..off[ntiles+1] the spill range)``.
+
+    The merge is idempotent (equal (rhw, order) re-encounters are rejected
+    by the strict tiebreak), so boundary-chunk bleed between adjacent tiles'
+    ranges is harmless.
+    """
+    th, tw = tile
+    nty, ntx = grid_hw
+    ntiles = nty * ntx
+    big = jnp.int32(ntiles + 1)
+    minx, maxx = tri_i32[_MINX], tri_i32[_MAXX]
+    miny, maxy = tri_i32[_MINY], tri_i32[_MAXY]
+    nonempty = (maxx > minx) & (maxy > miny)
+    tx0 = minx // tw
+    tx1 = jnp.maximum(maxx - 1, minx) // tw
+    ty0 = miny // th
+    ty1 = jnp.maximum(maxy - 1, miny) // th
+    ncols = tx1 - tx0 + 1
+    span = ncols * (ty1 - ty0 + 1)
+    small = nonempty & (span <= k)
+
+    m = tri_i32.shape[1]
+    tri_ids = jnp.arange(m, dtype=jnp.int32)
+    keys = []
+    for j in range(k):
+        tyj = ty0 + j // ncols
+        txj = tx0 + j % ncols
+        keys.append(jnp.where(small & (j < span), tyj * ntx + txj, big))
+    key = jnp.concatenate(keys + [jnp.where(nonempty & ~small, ntiles, big)])
+    ptri = jnp.concatenate([jnp.tile(tri_ids, k), tri_ids])
+    perm = jnp.argsort(key, stable=True)
+    key_s = key[perm]
+    ptri_s = ptri[perm]
+    off = jnp.searchsorted(key_s, jnp.arange(ntiles + 2, dtype=jnp.int32)).astype(
+        jnp.int32
+    )
+    n = ptri_s.shape[0]
+    n_pad = _cdiv(n, chunk) * chunk
+    ptri_s = jnp.concatenate(
+        [ptri_s, jnp.full((n_pad - n,), m_dummy, jnp.int32)]
+    )
+    # Padding / invalid pairs point at the dummy (empty-bbox) slot.
+    ptri_s = jnp.where(
+        jnp.arange(n_pad) < off[ntiles + 1], ptri_s[:n_pad], m_dummy
+    )
+    return ptri_s, off
+
+
 def _make_kernel(
-    *, th: int, tw: int, chunk: int, id_base: int, n_ctx: int, epilogue=None
+    *, th: int, tw: int, chunk: int, id_base: int, n_ctx: int, epilogue=None,
+    binned: bool = False,
 ):
     """Build the raster kernel body.
 
@@ -208,93 +267,132 @@ def _make_kernel(
         pcx = cx.astype(jnp.float32) + 0.5
         pcy = cy.astype(jnp.float32) + 0.5
 
-        def tri_body(t, carry):
-            def i32f(col):
-                return vi_ref[col, t]  # scalar (SMEM dynamic indexing)
+        def make_tri_body(read_i, read_f, gated=None):
+            ungated = not binned if gated is None else not gated
 
-            minx = i32f(_MINX)
-            maxx = i32f(_MAXX)
-            miny = i32f(_MINY)
-            maxy = i32f(_MAXY)
-            # Scalar tile-overlap gate: most triangles in a DMA'd chunk miss
-            # this tile; skipping their vector work (~70 VPU ops on the whole
-            # tile) behind one scalar test is the main throughput lever.
-            hit = (minx < ox + tw) & (maxx > ox) & (miny < oy + th) & (maxy > oy)
-            return jax.lax.cond(
-                hit,
-                lambda c: _tri_vector_work(t, minx, maxx, miny, maxy, c),
-                lambda c: c,
-                carry,
+            def tri_body(t, carry):
+                minx = read_i(_MINX, t)
+                maxx = read_i(_MAXX, t)
+                miny = read_i(_MINY, t)
+                maxy = read_i(_MAXY, t)
+                if ungated:
+                    # Exact per-tile lists: every pair in range belongs here
+                    # (boundary bleed is masked by in_bbox/cover); a scalar
+                    # cond would cost more than it saves — its carry is ~12
+                    # vector registers copied per skipped triangle.
+                    return _tri_vector_work(t, minx, maxx, miny, maxy, carry)
+                # Chunk-scan mode: most triangles in a DMA'd chunk miss this
+                # tile; skipping their vector work (~70 VPU ops on the whole
+                # tile) behind one scalar test is the main throughput lever.
+                hit = (
+                    (minx < ox + tw) & (maxx > ox) & (miny < oy + th) & (maxy > oy)
+                )
+                return jax.lax.cond(
+                    hit,
+                    lambda c: _tri_vector_work(t, minx, maxx, miny, maxy, c),
+                    lambda c: c,
+                    carry,
+                )
+
+            def _tri_vector_work(t, minx, maxx, miny, maxy, carry):
+                if n_ctx:
+                    depth, worder, winner, ps, ctx = carry
+                else:
+                    depth, worder, winner = carry
+
+                def i32f(col):
+                    return read_i(col, t)
+
+                def f32f(col):
+                    return read_f(col, t)
+
+                in_bbox = (cx >= minx) & (cx < maxx) & (cy >= miny) & (cy < maxy)
+
+                p0x, p0y = i32f(_P0X), i32f(_P0Y)
+                p1x, p1y = i32f(_P1X), i32f(_P1Y)
+                p2x, p2y = i32f(_P2X), i32f(_P2Y)
+                e01 = -(cx - p0x) * (p1y - p0y) + (cy - p0y) * (p1x - p0x)
+                e12 = -(cx - p1x) * (p2y - p1y) + (cy - p1y) * (p2x - p1x)
+                e20 = -(cx - p2x) * (p0y - p2y) + (cy - p2y) * (p0x - p2x)
+                cover = (
+                    in_bbox
+                    & (e01 >= 1 - i32f(_TL01))
+                    & (e12 >= 1 - i32f(_TL12))
+                    & (e20 >= 1 - i32f(_TL20))
+                )
+
+                s0x = f32f(_S0X) - pcx
+                s0y = f32f(_S0Y) - pcy
+                s1x = f32f(_S1X) - pcx
+                s1y = f32f(_S1Y) - pcy
+                s2x = f32f(_S2X) - pcx
+                s2y = f32f(_S2Y) - pcy
+                a = jnp.abs(s1x * s2y - s1y * s2x)
+                b = jnp.abs(s2x * s0y - s2y * s0x)
+                c = jnp.abs(s0x * s1y - s0y * s1x)
+                s = a + b + c
+                cover = cover & (s != 0.0)
+                inv_s = 1.0 / s
+                la = a * inv_s
+                lb = b * inv_s
+                lc = c * inv_s
+                rhw0, rhw1, rhw2 = f32f(_RHW0), f32f(_RHW1), f32f(_RHW2)
+                rhw = rhw0 * la + rhw1 * lb + rhw2 * lc
+
+                o = i32f(_ORDER)
+                accept = cover & ((rhw > depth) | ((rhw >= depth) & (o > worder)))
+                depth = jnp.where(accept, rhw, depth)
+                worder = jnp.where(accept, o, worder)
+                winner = jnp.where(accept, id_base + i32f(_SLOT), winner)
+                if not n_ctx:
+                    return depth, worder, winner
+
+                # Perspective-correct varying interpolation
+                # (renderer.rs:368-378) for the currently-winning triangle;
+                # overwritten on later accepts.
+                w_corr = 1.0 / jnp.where(rhw != 0.0, rhw, 1.0)
+                c0 = rhw0 * la * w_corr
+                c1 = rhw1 * lb * w_corr
+                c2 = rhw2 * lc * w_corr
+                new_ctx = [
+                    f32f(_CTX0 + ch) * c0
+                    + f32f(_CTX0 + n_ctx + ch) * c1
+                    + f32f(_CTX0 + 2 * n_ctx + ch) * c2
+                    for ch in range(n_ctx)
+                ]
+                ctx = [
+                    jnp.where(accept, new_ctx[ch], ctx[ch]) for ch in range(n_ctx)
+                ]
+                ps = jnp.where(accept, i32f(_PS), ps)
+                return depth, worder, winner, ps, ctx
+
+            return tri_body
+
+        if binned:
+            # Spill triangles (span > k tiles) are scanned by every tile —
+            # gate their vector work per-triangle; own-range pairs are exact.
+            _make_slot_tri_body = lambda slot, gated=False: make_tri_body(
+                lambda col, t: vi_ref[slot, col, t],
+                lambda col, t: vf_ref[slot, col, t],
+                gated=gated,
+            )
+        else:
+            tri_body = make_tri_body(
+                lambda col, t: vi_ref[col, t], lambda col, t: vf_ref[col, t]
             )
 
-        def _tri_vector_work(t, minx, maxx, miny, maxy, carry):
-            if n_ctx:
-                depth, worder, winner, ps, ctx = carry
-            else:
-                depth, worder, winner = carry
-
-            def i32f(col):
-                return vi_ref[col, t]
-
-            def f32f(col):
-                return vf_ref[col, t]
-
-            in_bbox = (cx >= minx) & (cx < maxx) & (cy >= miny) & (cy < maxy)
-
-            p0x, p0y = i32f(_P0X), i32f(_P0Y)
-            p1x, p1y = i32f(_P1X), i32f(_P1Y)
-            p2x, p2y = i32f(_P2X), i32f(_P2Y)
-            e01 = -(cx - p0x) * (p1y - p0y) + (cy - p0y) * (p1x - p0x)
-            e12 = -(cx - p1x) * (p2y - p1y) + (cy - p1y) * (p2x - p1x)
-            e20 = -(cx - p2x) * (p0y - p2y) + (cy - p2y) * (p0x - p2x)
-            cover = (
-                in_bbox
-                & (e01 >= 1 - i32f(_TL01))
-                & (e12 >= 1 - i32f(_TL12))
-                & (e20 >= 1 - i32f(_TL20))
+        def do_chunk(ci, cr):
+            dma_i = pltpu.make_async_copy(
+                tri_i_ref.at[:, pl.ds(ci * chunk, chunk)], vi_ref, sem_i
             )
-
-            s0x = f32f(_S0X) - pcx
-            s0y = f32f(_S0Y) - pcy
-            s1x = f32f(_S1X) - pcx
-            s1y = f32f(_S1Y) - pcy
-            s2x = f32f(_S2X) - pcx
-            s2y = f32f(_S2Y) - pcy
-            a = jnp.abs(s1x * s2y - s1y * s2x)
-            b = jnp.abs(s2x * s0y - s2y * s0x)
-            c = jnp.abs(s0x * s1y - s0y * s1x)
-            s = a + b + c
-            cover = cover & (s != 0.0)
-            inv_s = 1.0 / s
-            la = a * inv_s
-            lb = b * inv_s
-            lc = c * inv_s
-            rhw0, rhw1, rhw2 = f32f(_RHW0), f32f(_RHW1), f32f(_RHW2)
-            rhw = rhw0 * la + rhw1 * lb + rhw2 * lc
-
-            o = i32f(_ORDER)
-            accept = cover & ((rhw > depth) | ((rhw >= depth) & (o > worder)))
-            depth = jnp.where(accept, rhw, depth)
-            worder = jnp.where(accept, o, worder)
-            winner = jnp.where(accept, id_base + i32f(_SLOT), winner)
-            if not n_ctx:
-                return depth, worder, winner
-
-            # Perspective-correct varying interpolation (renderer.rs:368-378)
-            # for the currently-winning triangle; overwritten on later accepts.
-            w_corr = 1.0 / jnp.where(rhw != 0.0, rhw, 1.0)
-            c0 = rhw0 * la * w_corr
-            c1 = rhw1 * lb * w_corr
-            c2 = rhw2 * lc * w_corr
-            new_ctx = [
-                f32f(_CTX0 + ch) * c0
-                + f32f(_CTX0 + n_ctx + ch) * c1
-                + f32f(_CTX0 + 2 * n_ctx + ch) * c2
-                for ch in range(n_ctx)
-            ]
-            ctx = [jnp.where(accept, new_ctx[ch], ctx[ch]) for ch in range(n_ctx)]
-            ps = jnp.where(accept, i32f(_PS), ps)
-            return depth, worder, winner, ps, ctx
+            dma_f = pltpu.make_async_copy(
+                tri_f_ref.at[:, pl.ds(ci * chunk, chunk)], vf_ref, sem_f
+            )
+            dma_i.start()
+            dma_f.start()
+            dma_i.wait()
+            dma_f.wait()
+            return jax.lax.fori_loop(0, chunk, tri_body, cr)
 
         def chunk_body(ci, carry):
             chit = (
@@ -304,21 +402,9 @@ def _make_kernel(
                 & (cb_ref[2, ci] < oy + th)
                 & (cb_ref[3, ci] > oy)
             )
-
-            def do_chunk(cr):
-                dma_i = pltpu.make_async_copy(
-                    tri_i_ref.at[:, pl.ds(ci * chunk, chunk)], vi_ref, sem_i
-                )
-                dma_f = pltpu.make_async_copy(
-                    tri_f_ref.at[:, pl.ds(ci * chunk, chunk)], vf_ref, sem_f
-                )
-                dma_i.start()
-                dma_f.start()
-                dma_i.wait()
-                dma_f.wait()
-                return jax.lax.fori_loop(0, chunk, tri_body, cr)
-
-            return jax.lax.cond(chit, do_chunk, lambda cr: cr, carry)
+            return jax.lax.cond(
+                chit, lambda cr: do_chunk(ci, cr), lambda cr: cr, carry
+            )
 
         zero = jnp.zeros((th, tw), jnp.float32)
         if n_ctx:
@@ -335,8 +421,85 @@ def _make_kernel(
                 jnp.full((th, tw), ORDER_NONE, jnp.int32),
                 jnp.full((th, tw), -1, jnp.int32),
             )
-        nchunks = cb_ref.shape[1]
-        out = jax.lax.fori_loop(0, nchunks, chunk_body, init)
+        if binned:
+            # cb_ref is the per-tile pair-offset table (bin_pairs): own
+            # exact range, then the shared spill range — no chunk gates.
+            # Chunk DMAs are double-buffered (start i+1 while processing i)
+            # so the ~µs HBM latency hides behind the triangle vector work.
+            ntx_g = pl.num_programs(1)
+            ntiles = pl.num_programs(0) * ntx_g
+            t_lin = ty * ntx_g + tx
+            start = cb_ref[t_lin]
+            end = cb_ref[t_lin + 1]
+            s_start = cb_ref[ntiles]
+            s_end = cb_ref[ntiles + 1]
+            c0 = start // chunk
+            n_own = (end + chunk - 1) // chunk - c0
+            s0 = s_start // chunk
+            n_spill = (s_end + chunk - 1) // chunk - s0
+            n_tot = n_own + n_spill
+
+            def chunk_of(i):
+                return jnp.where(i < n_own, c0 + i, s0 + (i - n_own))
+
+            def start_dma(i):
+                slot = jax.lax.rem(i, 2)
+                ci = chunk_of(i)
+                pltpu.make_async_copy(
+                    tri_i_ref.at[:, pl.ds(ci * chunk, chunk)],
+                    vi_ref.at[slot],
+                    sem_i.at[slot],
+                ).start()
+                pltpu.make_async_copy(
+                    tri_f_ref.at[:, pl.ds(ci * chunk, chunk)],
+                    vf_ref.at[slot],
+                    sem_f.at[slot],
+                ).start()
+
+            @pl.when(n_tot > 0)
+            def _():
+                start_dma(0)
+
+            def pipelined_chunk(i, cr):
+                slot = jax.lax.rem(i, 2)
+
+                @pl.when(i + 1 < n_tot)
+                def _():
+                    start_dma(i + 1)
+
+                ci = chunk_of(i)
+                pltpu.make_async_copy(
+                    tri_i_ref.at[:, pl.ds(ci * chunk, chunk)],
+                    vi_ref.at[slot],
+                    sem_i.at[slot],
+                ).wait()
+                pltpu.make_async_copy(
+                    tri_f_ref.at[:, pl.ds(ci * chunk, chunk)],
+                    vf_ref.at[slot],
+                    sem_f.at[slot],
+                ).wait()
+                lo_own = jnp.maximum(start - ci * chunk, 0)
+                hi_own = jnp.minimum(end - ci * chunk, chunk)
+                lo_sp = jnp.maximum(s_start - ci * chunk, 0)
+                hi_sp = jnp.minimum(s_end - ci * chunk, chunk)
+                is_own = i < n_own
+                lo = jnp.where(is_own, lo_own, lo_sp)
+                hi = jnp.where(is_own, hi_own, hi_sp)
+                return jax.lax.cond(
+                    is_own,
+                    lambda c: jax.lax.fori_loop(
+                        lo, hi, _make_slot_tri_body(slot, gated=False), c
+                    ),
+                    lambda c: jax.lax.fori_loop(
+                        lo, hi, _make_slot_tri_body(slot, gated=True), c
+                    ),
+                    cr,
+                )
+
+            out = jax.lax.fori_loop(0, n_tot, pipelined_chunk, init)
+        else:
+            nchunks = cb_ref.shape[1]
+            out = jax.lax.fori_loop(0, nchunks, chunk_body, init)
         if epilogue is not None:
             epilogue(
                 out[0], out[1], out[2], out[3], out[4],
@@ -352,6 +515,23 @@ def _make_kernel(
                 ctx_ref[ch] = out[4][ch]
 
     return kernel
+
+
+def _prep_binned(tri, width, height, tile, chunk, k, *, with_ctx):
+    """pack_setup + bin_pairs + pair-order gather (single-frame, no origin)."""
+    th, tw = tile
+    h_pad = _cdiv(height, th) * th
+    w_pad = _cdiv(width, tw) * tw
+    m = tri.num_slots
+    m_pad = _cdiv(m + 1, 128) * 128  # ensure ≥1 trailing dummy (empty) slot
+    tri_i32, tri_f32 = pack_setup(tri, width, height, m_pad, with_ctx=with_ctx)
+    ptri, off = bin_pairs(
+        tri_i32, tile, (h_pad // th, w_pad // tw), k, chunk, m_dummy=m
+    )
+    bi = tri_i32[:, ptri]
+    bf = tri_f32[:, ptri]
+    origin_arr = jnp.zeros((2,), jnp.int32)
+    return bi, bf, off, origin_arr, h_pad, w_pad
 
 
 def _prep(tri, width, height, tile, chunk, origin, full_size, *, with_ctx):

@@ -42,6 +42,9 @@ class RenderConfig:
     # Single-kernel raster+shade for fused_kind-tagged shaders
     # (pipeline/fused.py); falls back automatically for custom shaders.
     fused_shade: bool = True
+    # Exact per-tile triangle binning in the fused kernel (bin_pairs) vs
+    # chunk-scan with bbox gates.
+    raster_binned: bool = True
 
 
 def apply_ps_boundary_quirk(tri: TriangleBuffer, num_draws: int) -> TriangleBuffer:

@@ -182,12 +182,36 @@ def render_voxel_frame(
 
     cell = length / r
 
+    # Flat tables + single-axis takes: multi-dim ``grid[ix, iy, iz]`` gathers
+    # lower pathologically on TPU (same effect measured for textures,
+    # baselines/profile_texture.py). One i32 table per step: bit 24 = hit,
+    # packed bgr in the low 24 bits; alpha is constant 255 for leaves
+    # (wgpu_base.rs:32-35) and background alike.
+    color_i32 = (
+        grid_color[..., 0].astype(jnp.int32)
+        | (grid_color[..., 1].astype(jnp.int32) << 8)
+        | (grid_color[..., 2].astype(jnp.int32) << 16)
+    )
+    table_flat = jnp.where(
+        grid_hit, color_i32 | (1 << 24), color_i32
+    ).reshape(-1)
+
     def query(p):
         """Dense-grid point query ≡ find_leaf (see octree.densify)."""
         inside = jnp.all((p >= 0.0) & (p < length), axis=-1)
         idx = jnp.clip((p / cell).astype(jnp.int32), 0, r - 1)
-        hit = grid_hit[idx[..., 0], idx[..., 1], idx[..., 2]] & inside
-        color = grid_color[idx[..., 0], idx[..., 1], idx[..., 2]]
+        flat = (idx[..., 0] * r + idx[..., 1]) * r + idx[..., 2]
+        v = jnp.take(table_flat, flat, axis=0)
+        hit = ((v >> 24) & 1).astype(bool) & inside
+        color = jnp.stack(
+            [
+                v & 0xFF,
+                (v >> 8) & 0xFF,
+                (v >> 16) & 0xFF,
+                jnp.full_like(v, 255),
+            ],
+            axis=-1,
+        ).astype(jnp.uint8)
         return hit, color
 
     bg = jnp.asarray(config.background, jnp.uint8)
