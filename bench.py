@@ -27,6 +27,8 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+
+
 def build_scene(name: str, backend: str):
     import jax.numpy as jnp
 
@@ -82,6 +84,25 @@ def build_scene(name: str, backend: str):
     raise ValueError(name)
 
 
+def _scan_timer(run_n, frames: int) -> float:
+    """Honest per-frame time on an async/tunneled runtime.
+
+    ``run_n(n)`` must execute n dependency-chained frames inside ONE jit
+    dispatch and return a checksum scalar (forced readback — nothing can
+    return early). Two-point fit (N vs 2N wall time) cancels the constant
+    dispatch/readback overhead, which jitters by tens of ms on the tunnel.
+    """
+    run_n(frames)  # warm (already compiled for this n or compiles now)
+    run_n(2 * frames)
+    t0 = time.time()
+    run_n(frames)
+    w1 = time.time() - t0
+    t0 = time.time()
+    run_n(2 * frames)
+    w2 = time.time() - t0
+    return max((w2 - w1) / frames, w2 / (4 * frames), 1e-7)
+
+
 def bench_config(name: str, frames: int, backend: str):
     import jax
     import jax.numpy as jnp
@@ -93,8 +114,7 @@ def bench_config(name: str, frames: int, backend: str):
     cfg = scene.config
     n_tris = sum(int(jax.tree.leaves(d)[0].shape[0]) for d in scene.draws)
 
-    @jax.jit
-    def step(angle, vs_u, ps_u, draws):
+    def one_frame(angle, vs_u, ps_u, draws):
         model = set_rotate(jnp.asarray([0.0, 1.0, 0.0]), angle)
         vs_u = dict(vs_u, model=model)
         frame, depth, _ = render_frame(
@@ -108,17 +128,27 @@ def bench_config(name: str, frames: int, backend: str):
         return frame
 
     draws = tuple(scene.draws)
-    t0 = time.time()
-    frame = step(jnp.float32(0.1), scene.vs_uniform, scene.ps_uniform, draws)
-    frame.block_until_ready()
-    _log(f"[{name}] compile+first: {time.time() - t0:.1f}s")
+    import functools
 
-    # steady state
+    @functools.partial(jax.jit, static_argnums=0)
+    def run_n(n, vs_u, ps_u, draws):
+        angles = 0.1 + 0.05 * jnp.arange(n, dtype=jnp.float32)
+
+        def body(acc, angle):
+            frame = one_frame(angle, vs_u, ps_u, draws)
+            return acc + jnp.sum(frame[::97, ::89, 0].astype(jnp.int32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.int32(0), angles)
+        return acc
+
     t0 = time.time()
-    for i in range(frames):
-        frame = step(jnp.float32(0.1 + 0.05 * i), scene.vs_uniform, scene.ps_uniform, draws)
-    frame.block_until_ready()
-    dt = (time.time() - t0) / frames
+    chk = int(run_n(frames, scene.vs_uniform, scene.ps_uniform, draws))
+    _log(f"[{name}] compile+first({frames} frames): {time.time() - t0:.1f}s "
+         f"checksum={chk}")
+    dt = _scan_timer(
+        lambda n: int(run_n(n, scene.vs_uniform, scene.ps_uniform, draws)),
+        frames,
+    )
     mpix = cfg.width * cfg.height / dt / 1e6
     mtris = n_tris / dt / 1e6
     _log(
@@ -137,6 +167,71 @@ def bench_config(name: str, frames: int, backend: str):
     }
 
 
+def bench_voxel(frames: int, width=960, height=540, level=3):
+    """SVO raycast (voxel.rs workload: 960×540, level-3 random octree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from f_renderer_tpu.math import set_identity, set_look_at, set_perspective
+    from f_renderer_tpu.voxel.octree import densify, gen_randomly
+    from f_renderer_tpu.voxel.raycast import VoxelRenderConfig, render_voxel_frame
+
+    rng = np.random.default_rng(0)
+    root = gen_randomly(level, rng)
+    grid_color, grid_hit = densify(root, level)
+    grid_color = jnp.asarray(grid_color)
+    grid_hit = jnp.asarray(grid_hit)
+    length = 2.0
+    cfg = VoxelRenderConfig(width=width, height=height, level=level, length=length)
+    proj = np.asarray(set_perspective(np.pi * 0.25, width / height, 0.1, 100.0))
+    center = np.array([length / 2] * 3, np.float32)
+
+    def args(i):
+        ang = 0.3 + 0.08 * i
+        eye = center + np.array(
+            [3.0 * np.cos(ang), 1.2, 3.0 * np.sin(ang)], np.float32
+        )
+        view = np.asarray(set_look_at(eye, center, [0, 1, 0]))
+        mvp = proj @ view @ np.asarray(set_identity())
+        return eye, np.linalg.inv(mvp).astype(np.float32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run_n(n, eyes, inv_mvps):
+        def body(acc, a):
+            eye, inv_mvp = a
+            frame = render_voxel_frame(grid_color, grid_hit, eye, inv_mvp, cfg)
+            return acc + jnp.sum(frame[::97, ::89, 0].astype(jnp.int32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.int32(0), (eyes, inv_mvps))
+        return acc
+
+    def pack_args(n):
+        es, ms = zip(*(args(i) for i in range(n)))
+        return jnp.asarray(np.stack(es)), jnp.asarray(np.stack(ms))
+
+    t0 = time.time()
+    chk = int(run_n(frames, *pack_args(frames)))
+    _log(f"[voxel540] compile+first({frames} frames): {time.time() - t0:.1f}s "
+         f"checksum={chk}")
+    dt = _scan_timer(lambda n: int(run_n(n, *pack_args(n))), frames)
+    mray = width * height / dt / 1e6
+    _log(
+        f"[voxel540] {width}x{height} level={level} frame={dt * 1e3:.2f}ms "
+        f"fps={1 / dt:.1f} Mrays/s={mray:.1f}"
+    )
+    return {
+        "config": "voxel540",
+        "width": width,
+        "height": height,
+        "frame_ms": dt * 1e3,
+        "mpix_per_s": mray,
+        "mtris_per_s": 0.0,
+        "tris": 0,
+    }
+
+
 def main():
     config = os.environ.get("BENCH_CONFIG", "phong1080")
     frames = int(os.environ.get("BENCH_FRAMES", "20"))
@@ -147,11 +242,14 @@ def main():
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
     names = (
-        ["cube512", "gouraud800", "textured1080", "phong1080", "stress4k"]
+        ["cube512", "gouraud800", "textured1080", "phong1080", "stress4k", "voxel540"]
         if config == "all"
         else [config]
     )
-    results = {n: bench_config(n, frames, backend) for n in names}
+    results = {
+        n: (bench_voxel(frames) if n == "voxel540" else bench_config(n, frames, backend))
+        for n in names
+    }
 
     headline = results.get("phong1080") or next(iter(results.values()))
 

@@ -152,6 +152,7 @@ class VoxelRenderConfig:
     level: int
     length: float = 2.0
     background: tuple = (0, 0, 0, 255)  # Rgba::new() — opaque black, BGRA
+    backend: str = "auto"  # "auto" | "pallas" | "jnp"
 
 
 def render_voxel_frame(
@@ -213,6 +214,32 @@ def render_voxel_frame(
             axis=-1,
         ).astype(jnp.uint8)
         return hit, color
+
+    backend = config.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend in ("pallas", "pallas_interpret"):
+        import numpy as np_
+
+        from f_renderer_tpu.voxel.raycast_pallas import march_pallas
+
+        per_t_f32 = float(
+            np_.float32(np_.float32(config.length) / np_.float32(2.0**level))
+            * np_.float32(0.01)
+        )
+        alive = valid & (t_max >= 0.0)
+        return march_pallas(
+            start,
+            dirs,
+            t_max,
+            alive,
+            table_flat,
+            r,
+            config.length,
+            per_t_f32,
+            config.background,
+            interpret=backend == "pallas_interpret",
+        )
 
     bg = jnp.asarray(config.background, jnp.uint8)
     # `while t <= t_max` (voxel.rs:344): a negative/NaN t_max means the loop

@@ -1,0 +1,173 @@
+"""Pallas TPU ray-march kernel for the SVO raycaster.
+
+The XLA march (raycast.py) pays a full-image gather per step — ~2.5 s/frame
+at 960×540 on v5e. Here the march runs inside a kernel: the densified voxel
+table (hit bit 24 + packed bgr, see raycast.py) lives in VMEM as
+(r³/128, 128) i32 rows; each (BS, 128) ray block while-loops until all its
+rays resolve, doing one hierarchical 128-lane gather set per step
+(``jnp.take_along_axis`` — Mosaic lane gather).
+
+Semantics are bit-identical to raycast.py's loop: query at p = start + t·dir
+starting from t = 0, first hit wins, ``t = min(t + per_t, t_max)``
+(voxel.rs:336-355), misses keep the background color.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _march_kernel(
+    sx_ref, sy_ref, sz_ref,  # (BS, 128) f32 — ray entry points
+    dx_ref, dy_ref, dz_ref,  # (BS, 128) f32 — ray directions
+    tmax_ref,  # (BS, 128) f32
+    alive_ref,  # (BS, 128) i32 — 1 where the march should run
+    tab_ref,  # VMEM (nhi, 128) i32 — voxel table (bit 24 = hit, bgr low)
+    out_ref,  # (BS, 128) i32 — packed bgra
+    *,
+    bs: int,
+    nhi: int,
+    r: int,
+    length: float,
+    per_t: float,
+    bg_packed: int,
+):
+    sx, sy, sz = sx_ref[...], sy_ref[...], sz_ref[...]
+    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    tmax = tmax_ref[...]
+    cell_inv = jnp.float32(r / length)
+    tab = tab_ref[...]  # (nhi, 128) in registers
+
+    def lookup(flat):
+        hi = flat // LANES
+        lo = flat % LANES
+        acc = jnp.zeros((bs, LANES), jnp.int32)
+        for h in range(nhi):
+            row = jnp.broadcast_to(tab[h][None, :], (bs, LANES))
+            g = jnp.take_along_axis(row, lo, axis=1)
+            acc = jnp.where(hi == h, g, acc)
+        return acc
+
+    def query(t):
+        px = sx + t * dx
+        py = sy + t * dy
+        pz = sz + t * dz
+        inside = (
+            (px >= 0.0) & (px < length)
+            & (py >= 0.0) & (py < length)
+            & (pz >= 0.0) & (pz < length)
+        )
+        ix = jnp.clip((px * cell_inv).astype(jnp.int32), 0, r - 1)
+        iy = jnp.clip((py * cell_inv).astype(jnp.int32), 0, r - 1)
+        iz = jnp.clip((pz * cell_inv).astype(jnp.int32), 0, r - 1)
+        v = lookup((ix * r + iy) * r + iz)
+        hit = (((v >> 24) & 1) != 0) & inside
+        return hit, v
+
+    t0 = jnp.zeros((bs, LANES), jnp.float32)
+    # done carried as i32 — Mosaic cannot legalize i1 vectors in while carries
+    done0 = 1 - alive_ref[...]
+    color0 = jnp.full((bs, LANES), jnp.int32(bg_packed))
+
+    def cond(state):
+        return jnp.any(state[1] == 0)
+
+    def body(state):
+        t, done, color = state
+        # 8 steps per loop-condition check: the cross-lane any() reduction
+        # costs more than a march step; overshooting is harmless (done rays
+        # never update).
+        for _ in range(8):
+            hit, v = query(t)
+            hit = hit & (done == 0)
+            color = jnp.where(
+                hit, (v & 0x00FFFFFF) | jnp.int32(-16777216), color
+            )
+            done = jnp.where(hit | (t >= tmax), jnp.int32(1), done)
+            t = jnp.where(done != 0, t, jnp.minimum(t + per_t, tmax))
+        return t, done, color
+
+    _, _, color = jax.lax.while_loop(cond, body, (t0, done0, color0))
+    out_ref[...] = color
+
+
+def march_pallas(
+    start,  # (..., 3) f32
+    dirs,  # (..., 3) f32
+    t_max,  # (...,) f32
+    alive,  # (...,) bool — rays to march (valid & t_max >= 0)
+    table_flat,  # (r³,) i32 — packed voxel table (raycast.py)
+    r: int,
+    length: float,
+    per_t: float,
+    background,  # (4,) u8 (b, g, r, a)
+    *,
+    block: int = 8,
+    interpret: bool = False,
+):
+    """Run the march; returns (..., 4) u8 colors (BGRA like the reference)."""
+    shape = t_max.shape
+    p = 1
+    for s in shape:
+        p *= s
+    rows = _cdiv(max(p, 1), LANES)
+    rows_pad = _cdiv(rows, block) * block
+    ppad = rows_pad * LANES
+    nhi = _cdiv(r * r * r, LANES)
+
+    def fp(a, fill=0.0):
+        flat = a.reshape(-1).astype(jnp.float32)
+        return jnp.pad(flat, (0, ppad - p), constant_values=fill).reshape(
+            rows_pad, LANES
+        )
+
+    alive_i = jnp.pad(
+        alive.reshape(-1).astype(jnp.int32), (0, ppad - p)
+    ).reshape(rows_pad, LANES)
+    tab = jnp.pad(
+        table_flat.astype(jnp.int32), (0, nhi * LANES - r * r * r)
+    ).reshape(nhi, LANES)
+
+    bg = background
+    bg_packed = int(bg[0]) | (int(bg[1]) << 8) | (int(bg[2]) << 16) | (
+        int(bg[3]) << 24
+    )
+    if bg_packed >= 2**31:
+        bg_packed -= 2**32
+
+    kernel = functools.partial(
+        _march_kernel,
+        bs=block,
+        nhi=nhi,
+        r=r,
+        length=float(length),
+        per_t=float(per_t),
+        bg_packed=bg_packed,
+    )
+    blk = lambda i: (i, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows_pad // block,),
+        in_specs=[pl.BlockSpec((block, LANES), blk)] * 8
+        + [pl.BlockSpec((nhi, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, LANES), blk),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, LANES), jnp.int32),
+        interpret=interpret,
+    )(
+        fp(start[..., 0]), fp(start[..., 1]), fp(start[..., 2]),
+        fp(dirs[..., 0]), fp(dirs[..., 1]), fp(dirs[..., 2]),
+        fp(t_max, fill=-1.0), alive_i, tab,
+    )
+    u8 = jax.lax.bitcast_convert_type(out, jnp.uint8)  # (rows, 128, 4)
+    return u8.reshape(-1, 4)[:p].reshape(shape + (4,))

@@ -110,6 +110,42 @@ def test_interp_matches_deferred(rng):
     )
 
 
+def test_bin_pairs_exact_coverage(rng):
+    # Every (tile, triangle) overlap must be reachable: either via the
+    # tile's own pair range or via the spill bucket.
+    from f_renderer_tpu.pipeline.raster_pallas import (
+        _MAXX, _MAXY, _MINX, _MINY, bin_pairs, pack_setup,
+    )
+
+    buf = make_buffer(rng, n_faces=40, spread=2.0)
+    th, tw = 16, 128
+    m = buf.num_slots
+    m_pad = ((m + 1 + 127) // 128) * 128
+    ti, _ = pack_setup(buf, W, H, m_pad, with_ctx=True)
+    nty, ntx = -(-H // th), -(-W // tw)
+    k = 4
+    ptri, off = bin_pairs(ti, (th, tw), (nty, ntx), k, 128, m_dummy=m)
+    ptri = np.asarray(ptri)
+    off = np.asarray(off)
+    ti = np.asarray(ti)
+    ntiles = nty * ntx
+    spill = set(ptri[off[ntiles] : off[ntiles + 1]].tolist())
+    for t in range(ntiles):
+        own = set(ptri[off[t] : off[t + 1]].tolist())
+        ty, tx = divmod(t, ntx)
+        y0, x0 = ty * th, tx * tw
+        for s in range(m):
+            minx, maxx = ti[_MINX, s], ti[_MAXX, s]
+            miny, maxy = ti[_MINY, s], ti[_MAXY, s]
+            overlaps = (
+                maxx > minx and maxy > miny
+                and minx < x0 + tw and maxx > x0
+                and miny < y0 + th and maxy > y0
+            )
+            if overlaps:
+                assert s in own or s in spill, (t, s)
+
+
 def test_empty_buffer():
     import jax
 

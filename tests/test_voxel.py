@@ -109,3 +109,38 @@ def test_full_frame_matches_scalar(svo):
     diff = (frame.astype(int) != gframe.astype(int)).any(axis=-1)
     assert diff.mean() <= 0.02, f"{diff.mean():.2%} pixels differ"
     assert (frame[..., :3] != 0).any()  # scene actually visible
+
+
+def test_pallas_march_matches_jnp(rng):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from f_renderer_tpu.math import set_identity, set_look_at, set_perspective
+    from f_renderer_tpu.voxel.octree import densify, gen_randomly
+    from f_renderer_tpu.voxel.raycast import VoxelRenderConfig, render_voxel_frame
+
+    root = gen_randomly(2, rng)
+    grid_color, grid_hit = densify(root, 2)
+    w, h = 96, 64
+    length = 2.0
+    eye = np.array([2.8, 1.8, -0.9], np.float32)
+    center = np.array([1.0, 1.0, 1.0], np.float32)
+    proj = np.asarray(set_perspective(np.pi * 0.25, w / h, 0.1, 100.0))
+    view = np.asarray(set_look_at(eye, center, [0, 1, 0]))
+    inv_mvp = np.linalg.inv(proj @ view @ np.asarray(set_identity())).astype(
+        np.float32
+    )
+    cfg = VoxelRenderConfig(width=w, height=h, level=2, length=length,
+                            backend="jnp")
+    f_jnp = np.asarray(
+        render_voxel_frame(jnp.asarray(grid_color), jnp.asarray(grid_hit),
+                           jnp.asarray(eye), jnp.asarray(inv_mvp), cfg)
+    )
+    cfg_p = dataclasses.replace(cfg, backend="pallas_interpret")
+    f_pal = np.asarray(
+        render_voxel_frame(jnp.asarray(grid_color), jnp.asarray(grid_hit),
+                           jnp.asarray(eye), jnp.asarray(inv_mvp), cfg_p)
+    )
+    diff = (f_jnp.astype(int) - f_pal.astype(int)).__abs__().max(axis=-1)
+    assert (diff > 0).mean() <= 0.002, f"{(diff > 0).mean():.3%} pixels differ"
