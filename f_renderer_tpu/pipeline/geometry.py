@@ -103,17 +103,22 @@ def _is_top_left(a, b):
     )
 
 
-def _setup_triangles(ndc_xy, spf, spi, rhw, ctx, valid, order, ps_index):
+def _setup_triangles(ndc_xy, spf, spi, rhw, ctx, valid, order, ps_index, cull=False):
     """Winding repair + per-triangle raster setup (renderer.rs:300-320).
 
     All args have a leading (N, 3, ...) triangle-corner layout. The winding
     repair (swap v1/v2 when the NDC normal z > 0 — NOT culling) is applied
-    here so the raster kernel sees final vertex order.
+    here so the raster kernel sees final vertex order. ``cull=True`` instead
+    drops back-facing (nz > 0) triangles — an option the reference lacks
+    (SURVEY.md §7.3.3), default off for parity.
     """
     v01 = ndc_xy[:, 1] - ndc_xy[:, 0]
     v02 = ndc_xy[:, 2] - ndc_xy[:, 0]
     nz = v01[:, 0] * v02[:, 1] - v01[:, 1] * v02[:, 0]
     swap = nz > 0.0  # NaN → no swap, like Rust
+    if cull:
+        valid = valid & ~swap
+        swap = jnp.zeros_like(swap)
     perm = jnp.where(
         swap[:, None], jnp.array([0, 2, 1], jnp.int32), jnp.array([0, 1, 2], jnp.int32)
     )  # (N, 3)
@@ -217,6 +222,7 @@ def geometry_process(
     clip_cap: int = 256,
     ps_index: int = 0,
     order_base: int = 0,
+    cull: bool = False,
 ):
     """Run the full geometry stage over a batch of faces.
 
@@ -266,24 +272,50 @@ def geometry_process(
         a_valid,
         order_base + face_idx * MAX_FAN,
         ps_index,
+        cull=cull,
     )
 
     # ---- Path B: clipped faces, compacted to clip_cap slots ----
+    # The whole path is behind a lax.cond: frames with nothing clipped (the
+    # common case for interior scenes) skip its ~2× geometry cost entirely.
     b_mask = w_ok & ~all_in
     num_clipped = jnp.sum(b_mask).astype(jnp.int32)
-    (sel,) = jnp.nonzero(b_mask, size=clip_cap, fill_value=f)
-    pos_pad = jnp.concatenate([pos, jnp.ones((1, 3, 4), jnp.float32)], axis=0)
-    ctx_pad = jnp.concatenate([ctx, jnp.zeros((1, 3, c), jnp.float32)], axis=0)
-    b_pos = pos_pad[sel]
-    b_ctx = ctx_pad[sel]
-    b_ndc, b_spf, b_spi, b_rhw, b_ctx_s, b_tri_valid = jax.vmap(
-        _clip_face, in_axes=(0, 0, None, None)
-    )(b_pos, b_ctx, width, height)
-    b_tri_valid = b_tri_valid & (sel < f)[:, None]
-    b_order = (
-        order_base
-        + sel[:, None] * MAX_FAN
-        + jnp.arange(MAX_FAN, dtype=jnp.int32)[None, :]
+
+    def run_clip_path(_):
+        (sel,) = jnp.nonzero(b_mask, size=clip_cap, fill_value=f)
+        pos_pad = jnp.concatenate(
+            [pos, jnp.ones((1, 3, 4), jnp.float32)], axis=0
+        )
+        ctx_pad = jnp.concatenate(
+            [ctx, jnp.zeros((1, 3, c), jnp.float32)], axis=0
+        )
+        b_pos = pos_pad[sel]
+        b_ctx = ctx_pad[sel]
+        b_ndc, b_spf, b_spi, b_rhw, b_ctx_s, b_tri_valid = jax.vmap(
+            _clip_face, in_axes=(0, 0, None, None)
+        )(b_pos, b_ctx, width, height)
+        b_tri_valid = b_tri_valid & (sel < f)[:, None]
+        b_order = (
+            order_base
+            + sel[:, None] * MAX_FAN
+            + jnp.arange(MAX_FAN, dtype=jnp.int32)[None, :]
+        )
+        return b_ndc, b_spf, b_spi, b_rhw, b_ctx_s, b_tri_valid, b_order
+
+    def skip_clip_path(_):
+        z = jnp.zeros
+        return (
+            z((clip_cap, MAX_FAN, 3, 2), jnp.float32),
+            z((clip_cap, MAX_FAN, 3, 2), jnp.float32),
+            z((clip_cap, MAX_FAN, 3, 2), jnp.int32),
+            z((clip_cap, MAX_FAN, 3), jnp.float32),
+            z((clip_cap, MAX_FAN, 3, c), jnp.float32),
+            z((clip_cap, MAX_FAN), bool),
+            z((clip_cap, MAX_FAN), jnp.int32) + order_base,
+        )
+
+    b_ndc, b_spf, b_spi, b_rhw, b_ctx_s, b_tri_valid, b_order = jax.lax.cond(
+        num_clipped > 0, run_clip_path, skip_clip_path, 0
     )
 
     def flat(x):
@@ -298,6 +330,7 @@ def geometry_process(
         flat(b_tri_valid),
         flat(b_order),
         ps_index,
+        cull=cull,
     )
 
     return buf_a.concat(buf_b), {"num_clipped": num_clipped}

@@ -45,6 +45,9 @@ class RenderConfig:
     # Exact per-tile triangle binning in the fused kernel (bin_pairs) vs
     # chunk-scan with bbox gates.
     raster_binned: bool = True
+    # Drop back-facing triangles instead of the reference's winding repair
+    # (renderer.rs:309-312). Off by default for parity (SURVEY.md §7.3.3).
+    cull_backfaces: bool = False
 
 
 def apply_ps_boundary_quirk(tri: TriangleBuffer, num_draws: int) -> TriangleBuffer:
@@ -96,6 +99,7 @@ def build_triangles(
             clip_cap=config.clip_cap,
             ps_index=d,
             order_base=order_base,
+            cull=config.cull_backfaces,
         )
         order_base += f * MAX_FAN
         num_clipped = num_clipped + stats["num_clipped"]

@@ -150,3 +150,24 @@ def test_submission_order_is_face_major(rng):
     faces = got["order"] // MAX_FAN
     assert (np.diff(got["order"]) > 0).all()
     assert (np.diff(faces) >= 0).all()
+
+
+def test_cull_backfaces_option():
+    """cull=True drops back-facing (nz > 0) triangles; default repairs winding."""
+    import jax.numpy as jnp
+
+    from f_renderer_tpu.pipeline.geometry import geometry_process
+
+    def vs(u, vin):
+        pos = jnp.asarray(vin["pos"], jnp.float32)
+        return jnp.concatenate([pos, jnp.ones(1)]), {"d": pos[:1]}
+
+    # front-facing (CW in NDC → nz < 0) and back-facing variants
+    front = np.array([[[-0.5, -0.5, 0.5], [0.0, 0.5, 0.5], [0.5, -0.5, 0.5]]],
+                     np.float32)
+    back = front[:, ::-1]
+    both = {"pos": jnp.asarray(np.concatenate([front, back]))}
+    buf, _ = geometry_process(both, vs, {}, 64, 64, clip_cap=4)
+    assert int(np.asarray(buf.valid).sum()) == 2  # repair keeps both
+    buf_c, _ = geometry_process(both, vs, {}, 64, 64, clip_cap=4, cull=True)
+    assert int(np.asarray(buf_c.valid).sum()) == 1  # cull drops one

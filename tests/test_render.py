@@ -176,3 +176,38 @@ def test_render_is_jittable():
     f2, d2 = step(jnp.asarray(mvp), stack, jnp.asarray(pos), jnp.asarray(uv))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     assert (np.asarray(f1)[..., 0] != BG[0]).any()
+
+
+def test_merge_is_order_independent():
+    """The (rhw, order) argmax merge must be invariant to physical triangle
+    order (the 'race detection' story, SURVEY.md §5): permuting buffer slots
+    changes nothing."""
+    import dataclasses as dc
+
+    from f_renderer_tpu.pipeline.raster_jnp import rasterize_jnp
+    from f_renderer_tpu.pipeline.geometry import geometry_process
+
+    rng = np.random.default_rng(5)
+    mvp = scene_matrices()
+
+    def vs(u, vin):
+        pos = jnp.asarray(vin["pos"], jnp.float32)
+        clip = u["mvp"] @ jnp.concatenate([pos, jnp.ones((1,), jnp.float32)])
+        return clip, {"uv": jnp.asarray(vin["uv"], jnp.float32)}
+
+    pos = rng.uniform([-1, -1, 0.5], [1, 1, 6.0], (30, 3))[:, None, :] + \
+        rng.uniform(-0.8, 0.8, (30, 3, 3))
+    uv = rng.random((30, 3, 2))
+    buf, _ = geometry_process(
+        {"pos": jnp.asarray(pos, jnp.float32), "uv": jnp.asarray(uv, jnp.float32)},
+        vs, {"mvp": jnp.asarray(mvp)}, W, H, clip_cap=16,
+    )
+    winner_a, depth_a = rasterize_jnp(buf, W, H)
+    perm = rng.permutation(buf.num_slots)
+    buf_p = jax.tree.map(lambda x: x[perm], buf)
+    winner_p, depth_p = rasterize_jnp(buf_p, W, H)
+    # map permuted winner ids back to original slots
+    winner_p = np.asarray(winner_p)
+    mapped = np.where(winner_p >= 0, perm[winner_p], -1)
+    np.testing.assert_array_equal(mapped, np.asarray(winner_a))
+    np.testing.assert_array_equal(np.asarray(depth_p), np.asarray(depth_a))
