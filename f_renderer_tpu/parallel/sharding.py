@@ -128,6 +128,22 @@ def render_frame_sharded(
 
         lin = dp * n_sp + sp
         y0 = lin * slab
+        if (
+            config.backend == "pallas"
+            and config.fused_shade
+            and hasattr(pixel_shader, "fused_kind")
+        ):
+            from f_renderer_tpu.pipeline.fused import render_fused_pallas
+
+            frame, depth, _ = render_fused_pallas(
+                tri,
+                pixel_shader,
+                ps_uniform,
+                config,
+                origin=(y0, 0),
+                size=(slab, w),
+            )
+            return frame, depth
         if config.backend == "pallas":
             from f_renderer_tpu.pipeline.raster_pallas import rasterize_pallas
 

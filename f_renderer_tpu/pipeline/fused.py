@@ -180,16 +180,24 @@ def render_fused_pallas(
     ps_uniform,
     config,
     *,
-    interpret: bool = False,
+    interpret: bool | None = None,
+    origin=(0, 0),
+    size: tuple | None = None,
 ):
     """One-kernel render for ``fused_kind``-tagged pixel shaders.
 
     Returns (frame (H, W, 4) u8, depth (H, W) f32, winner (H, W) i32).
+    ``origin``/``size`` render a sub-rect of the config-sized frame (the
+    sharded row-slab case; origin may be traced). ``interpret`` defaults to
+    pallas interpret mode off-TPU, so backend="pallas" works everywhere.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     kind = pixel_shader.fused_kind
     light_pos = getattr(pixel_shader, "light_pos", (1.2, 1.0, 2.0))
     light_color = getattr(pixel_shader, "light_color", (1.0, 1.0, 1.0))
-    width, height = config.width, config.height
+    full = (config.height, config.width)
+    height, width = size if size is not None else full
     th, tw = config.tile
     assert tw == LANES, "fused path requires tile width 128"
     n_ctx = tri.ctx.shape[-1]
@@ -202,7 +210,8 @@ def render_fused_pallas(
         # spilled ~40% of them and cost seconds per frame.
         k = 8 if tri.num_slots <= 300_000 else 4
         tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep_binned(
-            tri, width, height, (th, tw), chunk, k, with_ctx=True
+            tri, width, height, (th, tw), chunk, k, with_ctx=True,
+            origin=origin, full_size=full,
         )
         cb_spec = pl.BlockSpec(
             cb.shape, lambda ty, tx: (0,), memory_space=pltpu.SMEM
@@ -210,7 +219,7 @@ def render_fused_pallas(
     else:
         chunk = 256
         tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep(
-            tri, width, height, (th, tw), chunk, (0, 0), None, with_ctx=True
+            tri, width, height, (th, tw), chunk, origin, full, with_ctx=True
         )
         cb_spec = pl.BlockSpec(
             (5, cb.shape[1]), lambda ty, tx: (0, 0), memory_space=pltpu.SMEM

@@ -176,7 +176,15 @@ def chunk_bounds(tri_i32, chunk: int):
     return jnp.stack([cminx, cmaxx, cminy, cmaxy, cany])
 
 
-def bin_pairs(tri_i32, tile: tuple[int, int], grid_hw: tuple[int, int], k: int, chunk: int, m_dummy: int):
+def bin_pairs(
+    tri_i32,
+    tile: tuple[int, int],
+    grid_hw: tuple[int, int],
+    k: int,
+    chunk: int,
+    m_dummy: int,
+    origin=(0, 0),
+):
     """Exact per-tile triangle lists via (tile, triangle) pair expansion.
 
     Each triangle emits one pair per covered tile (bbox ∩ tile grid), up to
@@ -196,8 +204,11 @@ def bin_pairs(tri_i32, tile: tuple[int, int], grid_hw: tuple[int, int], k: int, 
     nty, ntx = grid_hw
     ntiles = nty * ntx
     big = jnp.int32(ntiles + 1)
-    minx, maxx = tri_i32[_MINX], tri_i32[_MAXX]
-    miny, maxy = tri_i32[_MINY], tri_i32[_MAXY]
+    y_org, x_org = origin  # may be traced (sharded row slabs)
+    minx = jnp.clip(tri_i32[_MINX] - x_org, 0, ntx * tw)
+    maxx = jnp.clip(tri_i32[_MAXX] - x_org, 0, ntx * tw)
+    miny = jnp.clip(tri_i32[_MINY] - y_org, 0, nty * th)
+    maxy = jnp.clip(tri_i32[_MAXY] - y_org, 0, nty * th)
     nonempty = (maxx > minx) & (maxy > miny)
     tx0 = minx // tw
     tx1 = jnp.maximum(maxx - 1, minx) // tw
@@ -517,20 +528,33 @@ def _make_kernel(
     return kernel
 
 
-def _prep_binned(tri, width, height, tile, chunk, k, *, with_ctx):
-    """pack_setup + bin_pairs + pair-order gather (single-frame, no origin)."""
+def _prep_binned(
+    tri, width, height, tile, chunk, k, *, with_ctx, origin=(0, 0),
+    full_size=None,
+):
+    """pack_setup + bin_pairs + pair-order gather.
+
+    ``origin=(y0, x0)`` (may be traced) renders the sub-rect of a
+    ``full_size`` frame — the sharded row-slab case: bboxes clip against the
+    full frame, bin tile ids are slab-local, pixel coords stay global via
+    the kernel's origin offset.
+    """
     th, tw = tile
+    fh, fw = full_size if full_size is not None else (height, width)
     h_pad = _cdiv(height, th) * th
     w_pad = _cdiv(width, tw) * tw
     m = tri.num_slots
     m_pad = _cdiv(m + 1, 128) * 128  # ensure ≥1 trailing dummy (empty) slot
-    tri_i32, tri_f32 = pack_setup(tri, width, height, m_pad, with_ctx=with_ctx)
+    tri_i32, tri_f32 = pack_setup(tri, fw, fh, m_pad, with_ctx=with_ctx)
     ptri, off = bin_pairs(
-        tri_i32, tile, (h_pad // th, w_pad // tw), k, chunk, m_dummy=m
+        tri_i32, tile, (h_pad // th, w_pad // tw), k, chunk, m_dummy=m,
+        origin=origin,
     )
     bi = tri_i32[:, ptri]
     bf = tri_f32[:, ptri]
-    origin_arr = jnp.zeros((2,), jnp.int32)
+    origin_arr = jnp.stack(
+        [jnp.asarray(origin[0], jnp.int32), jnp.asarray(origin[1], jnp.int32)]
+    )
     return bi, bf, off, origin_arr, h_pad, w_pad
 
 

@@ -67,3 +67,30 @@ def test_sharded_under_jit(scene):
     f1, d1 = step(scene.vs_uniform, scene.ps_uniform, tuple(scene.draws))
     f2, d2 = step(scene.vs_uniform, scene.ps_uniform, tuple(scene.draws))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_sharded_fused_matches_single(scene):
+    """The fused-kernel sharded path (row slabs, slab-local binning) must
+    reproduce the single-device fused render."""
+    import dataclasses
+
+    import jax
+
+    from f_renderer_tpu.parallel import make_render_mesh, render_frame_sharded
+
+    cfg = dataclasses.replace(scene.config, backend="pallas")
+    scene_p = dataclasses.replace(scene, config=cfg)
+    frame_1, depth_1, _ = scene_p.render()
+
+    mesh = make_render_mesh(jax.devices()[:4], dp=2, sp=2)
+    frame_n, depth_n = render_frame_sharded(
+        scene.draws,
+        scene.vertex_shader,
+        scene.vs_uniform,
+        scene.pixel_shader,
+        scene.ps_uniform,
+        cfg,
+        mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(frame_n), np.asarray(frame_1))
+    np.testing.assert_array_equal(np.asarray(depth_n), np.asarray(depth_1))
