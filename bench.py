@@ -182,7 +182,11 @@ def bench_voxel(frames: int, width=960, height=540, level=3):
     grid_color = jnp.asarray(grid_color)
     grid_hit = jnp.asarray(grid_hit)
     length = 2.0
-    cfg = VoxelRenderConfig(width=width, height=height, level=level, length=length)
+    traversal = os.environ.get("BENCH_VOXEL_TRAVERSAL", "fixed")
+    cfg = VoxelRenderConfig(
+        width=width, height=height, level=level, length=length,
+        traversal=traversal,
+    )
     proj = np.asarray(set_perspective(np.pi * 0.25, width / height, 0.1, 100.0))
     center = np.array([length / 2] * 3, np.float32)
 

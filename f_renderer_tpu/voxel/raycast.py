@@ -114,34 +114,53 @@ def cube_intersect(pos, dirs, length):
     # <2 points → (p0, p0) (voxel.rs:317-319)
     single = cnt == 1
 
-    # Sort by distance to ray origin, stable (voxel.rs:321).
+    # Sort by distance to ray origin, stable (voxel.rs:321). Implemented as
+    # static rank-selects over the 8 slots: per-pixel argsort+gather on the
+    # trailing axis lowers to scalar loops on TPU (~100 ms/frame measured);
+    # 64 compares + selects fuse into cheap VPU code.
     d = jnp.linalg.norm(pts - pos, axis=-1)
     d = jnp.where(jnp.arange(MAX_POINTS) < cnt[..., None], d, jnp.float32(3.0e38))
-    order = jnp.argsort(d, axis=-1, stable=True)
-    pts = jnp.take_along_axis(pts, order[..., None], axis=-2)
+    dk = [d[..., k] for k in range(MAX_POINTS)]
+    rank = []
+    for j in range(MAX_POINTS):
+        r = jnp.zeros(shape, jnp.int32)
+        for k_ in range(MAX_POINTS):
+            if k_ == j:
+                continue
+            less = (dk[k_] < dk[j]) | ((dk[k_] == dk[j]) & (k_ < j))
+            r = r + less.astype(jnp.int32)
+        rank.append(r)
+    pts_k = [pts[..., k, :] for k in range(MAX_POINTS)]
+    pts_s = []
+    for p_ in range(MAX_POINTS):
+        acc = jnp.zeros(shape + (3,), jnp.float32)
+        for j in range(MAX_POINTS):
+            acc = jnp.where((rank[j] == p_)[..., None], pts_k[j], acc)
+        pts_s.append(acc)
 
     # The reference's scrambling "dedupe" for cnt > 2 (voxel.rs:323-331):
     #   i = 1; for j in 0..len: if pts[i] != pts[j]: pts[i] = pts[j]; i = j
-    # Reproduced literally with a fori over the fixed MAX_POINTS slots.
-    def dedupe_body(j, state):
-        pts, i = state
+    # Reproduced literally, unrolled with one-hot selects over the 8 slots.
+    ded = list(pts_s)
+    i_idx = jnp.ones(shape, jnp.int32)
+    for j in range(MAX_POINTS):
         in_range = j < cnt
-        pi = jnp.take_along_axis(pts, i[..., None, None], axis=-2)[..., 0, :]
-        pj = pts[..., j, :]
+        pi = jnp.zeros(shape + (3,), jnp.float32)
+        for k_ in range(MAX_POINTS):
+            pi = jnp.where((i_idx == k_)[..., None], ded[k_], pi)
+        pj = ded[j]
         differs = jnp.any(pi != pj, axis=-1) & in_range
-        onehot = (jnp.arange(MAX_POINTS)[..., None] == i[..., None, None])
-        pts = jnp.where(differs[..., None, None] & onehot, pj[..., None, :], pts)
-        i = jnp.where(differs, j, i)
-        return pts, i
+        for k_ in range(MAX_POINTS):
+            sel = differs & (i_idx == k_)
+            ded[k_] = jnp.where(sel[..., None], pj, ded[k_])
+        i_idx = jnp.where(differs, j, i_idx)
 
-    do_dedupe = cnt > 2
-    pts_d, _ = jax.lax.fori_loop(
-        0, MAX_POINTS, dedupe_body, (pts, jnp.ones(shape, jnp.int32))
-    )
-    pts = jnp.where(do_dedupe[..., None, None], pts_d, pts)
+    do_dedupe = (cnt > 2)[..., None]
+    p0 = jnp.where(do_dedupe, ded[0], pts_s[0])
+    p1 = jnp.where(do_dedupe, ded[1], pts_s[1])
 
-    start = pts[..., 0, :]
-    end = jnp.where(single[..., None], pts[..., 0, :], pts[..., 1, :])
+    start = p0
+    end = jnp.where(single[..., None], p0, p1)
     return start, end, valid
 
 
@@ -153,6 +172,10 @@ class VoxelRenderConfig:
     length: float = 2.0
     background: tuple = (0, 0, 0, 255)  # Rgba::new() — opaque black, BGRA
     backend: str = "auto"  # "auto" | "pallas" | "jnp"
+    # "fixed" replicates the reference's tiny-step march incl. its thin-leaf
+    # skip quirk (voxel.rs:340, SURVEY.md §7.3.10); "dda" steps cell-exactly
+    # (~50× fewer iterations, pallas backend only).
+    traversal: str = "fixed"
 
 
 def render_voxel_frame(
@@ -239,6 +262,7 @@ def render_voxel_frame(
             per_t_f32,
             config.background,
             interpret=backend == "pallas_interpret",
+            dda=config.traversal == "dda",
         )
 
     bg = jnp.asarray(config.background, jnp.uint8)

@@ -42,6 +42,7 @@ def _march_kernel(
     length: float,
     per_t: float,
     bg_packed: int,
+    dda: bool = False,
 ):
     sx, sy, sz = sx_ref[...], sy_ref[...], sz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
@@ -83,19 +84,42 @@ def _march_kernel(
     def cond(state):
         return jnp.any(state[1] == 0)
 
+    cellsz = jnp.float32(length / r)
+    inf = jnp.float32(3.0e38)
+
+    def dda_advance(t):
+        # exact distance to the next cell boundary (3D-DDA); rays with a
+        # zero direction component never cross that axis' planes.
+        px = sx + t * dx
+        py = sy + t * dy
+        pz = sz + t * dz
+
+        def axis(p, d):
+            c = jnp.floor(p / cellsz)
+            boundary = (c + (d > 0.0).astype(jnp.float32)) * cellsz
+            tn = (boundary - p) / d
+            tn = jnp.where((d == 0.0) | jnp.isnan(tn), inf, tn)
+            return jnp.maximum(tn, 0.0)
+
+        dt = jnp.minimum(jnp.minimum(axis(px, dx), axis(py, dy)), axis(pz, dz))
+        return t + dt + cellsz * 1.0e-3
+
     def body(state):
         t, done, color = state
-        # 8 steps per loop-condition check: the cross-lane any() reduction
-        # costs more than a march step; overshooting is harmless (done rays
-        # never update).
-        for _ in range(8):
+        # Several steps per loop-condition check: the cross-lane any()
+        # reduction costs more than a march step; overshooting is harmless
+        # (done rays never update).
+        for _ in range(2 if dda else 8):
             hit, v = query(t)
             hit = hit & (done == 0)
             color = jnp.where(
                 hit, (v & 0x00FFFFFF) | jnp.int32(-16777216), color
             )
             done = jnp.where(hit | (t >= tmax), jnp.int32(1), done)
-            t = jnp.where(done != 0, t, jnp.minimum(t + per_t, tmax))
+            if dda:
+                t = jnp.where(done != 0, t, jnp.minimum(dda_advance(t), tmax))
+            else:
+                t = jnp.where(done != 0, t, jnp.minimum(t + per_t, tmax))
         return t, done, color
 
     _, _, color = jax.lax.while_loop(cond, body, (t0, done0, color0))
@@ -115,8 +139,14 @@ def march_pallas(
     *,
     block: int = 8,
     interpret: bool = False,
+    dda: bool = False,
 ):
-    """Run the march; returns (..., 4) u8 colors (BGRA like the reference)."""
+    """Run the march; returns (..., 4) u8 colors (BGRA like the reference).
+
+    ``dda=True`` steps cell-exactly (3D-DDA) instead of the reference's
+    fixed tiny step — ~50× fewer iterations, no thin-leaf skipping; an
+    intentional behavioral deviation, off by default (SURVEY.md §7.3.10).
+    """
     shape = t_max.shape
     p = 1
     for s in shape:
@@ -154,6 +184,7 @@ def march_pallas(
         length=float(length),
         per_t=float(per_t),
         bg_packed=bg_packed,
+        dda=dda,
     )
     blk = lambda i: (i, 0)
     out = pl.pallas_call(

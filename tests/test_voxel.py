@@ -144,3 +144,35 @@ def test_pallas_march_matches_jnp(rng):
     )
     diff = (f_jnp.astype(int) - f_pal.astype(int)).__abs__().max(axis=-1)
     assert (diff > 0).mean() <= 0.002, f"{(diff > 0).mean():.3%} pixels differ"
+
+
+def test_dda_matches_fixed_on_thick_cells(rng):
+    """On a fully-occupied octree every march hits the entry cell — fixed
+    and DDA traversal must agree (thin-leaf skipping can't occur)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from f_renderer_tpu.math import set_identity, set_look_at, set_perspective
+    from f_renderer_tpu.voxel.octree import densify, new_full
+    from f_renderer_tpu.voxel.raycast import VoxelRenderConfig, render_voxel_frame
+
+    root = new_full()
+    grid_color, grid_hit = densify(root, 1)
+    w, h = 64, 48
+    eye = np.array([2.6, 2.2, -1.1], np.float32)
+    center = np.array([1.0, 1.0, 1.0], np.float32)
+    proj = np.asarray(set_perspective(np.pi * 0.25, w / h, 0.1, 100.0))
+    view = np.asarray(set_look_at(eye, center, [0, 1, 0]))
+    inv_mvp = np.linalg.inv(proj @ view @ np.asarray(set_identity())).astype(
+        np.float32
+    )
+    args = (jnp.asarray(grid_color), jnp.asarray(grid_hit), jnp.asarray(eye),
+            jnp.asarray(inv_mvp))
+    cfg = VoxelRenderConfig(width=w, height=h, level=1,
+                            backend="pallas_interpret")
+    f_fixed = np.asarray(render_voxel_frame(*args, cfg))
+    cfg_dda = dataclasses.replace(cfg, traversal="dda")
+    f_dda = np.asarray(render_voxel_frame(*args, cfg_dda))
+    diff = (f_fixed.astype(int) - f_dda.astype(int)).__abs__().max(axis=-1)
+    assert (diff > 0).mean() <= 0.005
