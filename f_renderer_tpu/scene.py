@@ -35,14 +35,29 @@ class Scene:
     config: RenderConfig
 
     def render(self):
-        return render_frame(
-            self.draws,
-            self.vertex_shader,
-            self.vs_uniform,
-            self.pixel_shader,
-            self.ps_uniform,
-            self.config,
+        """Render one frame (jit-compiled; the whole pipeline is one XLA
+        program — eager dispatch is pathologically slow on remote runtimes).
+        Uniforms/draws are traced, so camera or mesh animation reuses the
+        compiled program."""
+        step = _scene_step(
+            self.vertex_shader, self.pixel_shader, self.config, len(self.draws)
         )
+        return step(self.vs_uniform, self.ps_uniform, tuple(self.draws))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _scene_step(vertex_shader, pixel_shader, config, num_draws):
+    @jax.jit
+    def step(vs_uniform, ps_uniform, draws):
+        return render_frame(
+            list(draws), vertex_shader, vs_uniform, pixel_shader, ps_uniform,
+            config,
+        )
+
+    return step
 
 
 # ---------------------------------------------------------------------------
