@@ -36,9 +36,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CONFIGS = ["cube512", "gouraud800", "textured1080", "phong1080", "stress4k"]
 # Full-frame repetitions per config; heavy configs get fewer.
 FRAMES = {"cube512": 10, "gouraud800": 5, "textured1080": 3, "phong1080": 3, "stress4k": 1}
-# bench.py's build_scene shades every config with the Phong shader (the
-# flagship workload); the CPU baseline must shade identically to compare.
-SHADER_FOR = {name: "phong" for name in CONFIGS}
+# Shader per config — must match bench.py's build_scene exactly.
+SHADER_FOR = {
+    "cube512": "phong",
+    "gouraud800": "gouraud",
+    "textured1080": "textured",
+    "phong1080": "phong",
+    "stress4k": "phong",
+}
 
 
 def measure(name: str) -> dict:

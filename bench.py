@@ -47,14 +47,18 @@ def build_scene(name: str, backend: str):
 
         sphere = make_uv_sphere(36, 72)  # ~5.2k tris
         cam = Camera.create([0.0, 0.0, 3.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
-        return make_phong_scene(800, 600, meshes=[sphere], camera=cam, backend=backend)
+        return make_phong_scene(
+            800, 600, meshes=[sphere], camera=cam, backend=backend,
+            shader="gouraud",
+        )
     if name == "textured1080":
         from f_renderer_tpu.camera import Camera
 
         sphere = make_uv_sphere(48, 96)
         cam = Camera.create([0.0, 0.0, 3.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
         return make_phong_scene(
-            1920, 1080, meshes=[sphere], camera=cam, backend=backend
+            1920, 1080, meshes=[sphere], camera=cam, backend=backend,
+            shader="textured",
         )
     if name == "phong1080":
         from f_renderer_tpu.camera import Camera

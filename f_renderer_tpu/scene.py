@@ -174,28 +174,42 @@ def make_phong_scene(
     camera: Camera | None = None,
     clip_cap: int = 256,
     backend: str = "jnp",
+    shader: str = "phong",
 ) -> Scene:
-    """A ready-to-render multi-mesh Phong scene (the phong.rs workload)."""
+    """A ready-to-render multi-mesh scene (the phong.rs workload shape).
+
+    ``shader``: "phong" (textured per-pixel, the default) | "gouraud"
+    (vertex-lit) | "textured" (unlit bilinear).
+    """
+    from f_renderer_tpu.shaders import make_gouraud_shaders, make_textured_shaders
+
     if meshes is None:
         meshes = [make_cube()]
     if textures is None:
         textures = [make_checker_texture()] * len(meshes)
     if camera is None:
         camera = Camera.create([0.0, 1.0, 3.0], [0.0, 1.0, 0.0], [0.0, 1.0, 0.0])
-    vs, ps = make_phong_shaders()
+    vs, ps = {
+        "phong": make_phong_shaders,
+        "gouraud": make_gouraud_shaders,
+        "textured": make_textured_shaders,
+    }[shader]()
     proj = set_perspective(np.pi * 0.25, width / height, 0.1, 100.0)
     draws = [
         {k: jnp.asarray(m[k]) for k in ("pos", "uv", "normal")} for m in meshes
     ]
+    vs_uniform = {
+        "model": set_identity(),
+        "view": camera.look_at(),
+        "proj": proj,
+    }
+    if shader == "gouraud":
+        vs_uniform["view_pos"] = camera.eye  # lighting runs in the VS
     return Scene(
         draws=draws,
         vertex_shader=vs,
         pixel_shader=ps,
-        vs_uniform={
-            "model": set_identity(),
-            "view": camera.look_at(),
-            "proj": proj,
-        },
+        vs_uniform=vs_uniform,
         ps_uniform={
             "textures": TextureStack.create(list(textures)),
             "view_pos": camera.eye,
