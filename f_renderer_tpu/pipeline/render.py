@@ -48,6 +48,8 @@ class RenderConfig:
     # Drop back-facing triangles instead of the reference's winding repair
     # (renderer.rs:309-312). Off by default for parity (SURVEY.md §7.3.3).
     cull_backfaces: bool = False
+    # Let the fused kernel pick a taller tile for huge triangle counts.
+    tile_auto: bool = True
 
 
 def apply_ps_boundary_quirk(tri: TriangleBuffer, num_draws: int) -> TriangleBuffer:
