@@ -208,11 +208,11 @@ def render_fused_pallas(
     binned = getattr(config, "raster_binned", True)
     if binned:
         chunk = 128
-        # pair-expansion cap: generous for normal scenes, moderate for huge
-        # triangle counts (pair tables scale with k · slots). Too small a k
-        # floods the every-tile spill bucket — with 1M small triangles k=2
-        # spilled ~40% of them and cost seconds per frame.
-        k = 8 if tri.num_slots <= 300_000 else 4
+        # pair-expansion cap: pair tables and the bin sort scale with
+        # k · slots; too small a k floods the every-tile spill bucket — with
+        # 1M small triangles k=2 spilled ~40% of them and cost seconds per
+        # frame. k=6 covers 3×2-tile spans (the common clipped-tri case).
+        k = 6 if tri.num_slots <= 300_000 else 4
         tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep_binned(
             tri, width, height, (th, tw), chunk, k, with_ctx=True,
             origin=origin, full_size=full,
