@@ -85,3 +85,47 @@ def test_save_png_roundtrip(tmp_path):
     save_png(str(tmp_path / "f.png"), frame)
     back = load_texture(str(tmp_path / "f.png"), bgra=False)
     np.testing.assert_array_equal(back, frame)
+
+
+def test_obj_tga_asset_flow(tmp_path):
+    """End-to-end: OBJ parse → corners → render with a TGA texture
+    (the phong.rs:166-171 asset flow)."""
+    import struct
+
+    import jax.numpy as jnp
+
+    from f_renderer_tpu import native
+    from f_renderer_tpu.io.obj import load_obj
+    from f_renderer_tpu.scene import make_phong_scene
+
+    obj = (
+        "v -1 0 -1\nv 1 0 -1\nv 1 0 1\nv -1 0 1\nv 0 1.5 0\n"
+        "vn 0 1 0\nvt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\nvt 0.5 0.5\n"
+        "f 1/1/1 2/2/1 5/5/1\nf 2/2/1 3/3/1 5/5/1\n"
+        "f 3/3/1 4/4/1 5/5/1\nf 4/4/1 1/1/1 5/5/1\n"
+        "f 1/1/1 3/3/1 2/2/1\nf 1/1/1 4/4/1 3/3/1\n"
+    )
+    p = tmp_path / "pyr.obj"
+    p.write_text(obj)
+    model = load_obj(str(p))
+    assert model.faces_len == 6
+    corners = model.corners()
+    assert corners["pos"].shape == (6, 3, 3)
+
+    if native.is_available():
+        w = h = 16
+        header = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, w, h, 24, 0)
+        px = bytes()
+        for y in range(h - 1, -1, -1):
+            for x in range(w):
+                px += bytes([x * 16 % 256, y * 16 % 256, 200])
+        tex = native.decode_tga(header + px)
+        assert tex.shape == (16, 16, 4)
+    else:
+        tex = np.full((16, 16, 4), 128, np.uint8)
+
+    scene = make_phong_scene(
+        96, 72, meshes=[corners], textures=[tex], clip_cap=16
+    )
+    frame, _, _ = scene.render()
+    assert (np.asarray(frame)[..., 0] != 30).sum() > 200
