@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--out", default="out/voxel")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ascii", action="store_true")
+    ap.add_argument("--dda", action="store_true",
+                    help="cell-exact traversal (~50x; skips the reference's "
+                         "fixed-step thin-leaf quirk)")
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
@@ -48,7 +51,10 @@ def main():
     grid_hit = jnp.asarray(grid_hit)
 
     length = 2.0
-    cfg = VoxelRenderConfig(width=w, height=h, level=args.level, length=length)
+    cfg = VoxelRenderConfig(
+        width=w, height=h, level=args.level, length=length,
+        traversal="dda" if args.dda else "fixed",
+    )
     proj = np.asarray(set_perspective(np.pi * 0.25, w / h, 0.1, 100.0))
     model = np.asarray(set_identity())
     center = np.array([length / 2] * 3, np.float32)
