@@ -27,6 +27,20 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache (first full-pipeline compile over the
+    tunnel is minutes; cached reloads are seconds — measured in BASELINE.md)."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 
 def build_scene(name: str, backend: str):
@@ -241,9 +255,12 @@ def bench_voxel(frames: int, width=960, height=540, level=3):
 
 
 def main():
-    config = os.environ.get("BENCH_CONFIG", "phong1080")
-    frames = int(os.environ.get("BENCH_FRAMES", "20"))
+    # Default to the FULL config list so the driver's BENCH_r*.json artifact
+    # carries every headline number (VERDICT r1 #5), not just phong1080.
+    config = os.environ.get("BENCH_CONFIG", "all")
+    frames = int(os.environ.get("BENCH_FRAMES", "10"))
     backend = os.environ.get("BENCH_BACKEND", "")
+    enable_compilation_cache()
     if not backend:
         import jax
 
@@ -254,28 +271,45 @@ def main():
         if config == "all"
         else [config]
     )
-    results = {
-        n: (bench_voxel(frames) if n == "voxel540" else bench_config(n, frames, backend))
-        for n in names
-    }
+    results = {}
+    for n in names:
+        try:
+            results[n] = (
+                bench_voxel(frames) if n == "voxel540"
+                else bench_config(n, frames, backend)
+            )
+        except Exception as e:  # one bad config must not lose the others
+            _log(f"[{n}] FAILED: {type(e).__name__}: {e}")
+    if not results:
+        raise SystemExit("all bench configs failed")
 
     headline = results.get("phong1080") or next(iter(results.values()))
 
-    cpu_mpix = None
+    cpu = {}
     base_path = os.path.join(os.path.dirname(__file__), "baselines", "cpu_baseline.json")
     if os.path.exists(base_path):
         with open(base_path) as f:
             cpu = json.load(f)
-        cpu_mpix = cpu.get(headline["config"], {}).get("mpix_per_s")
 
-    vs_baseline = headline["mpix_per_s"] / cpu_mpix if cpu_mpix else 0.0
+    def vs_cpu(r):
+        cpu_mpix = cpu.get(r["config"], {}).get("mpix_per_s")
+        return round(r["mpix_per_s"] / cpu_mpix, 2) if cpu_mpix else 0.0
+
     print(
         json.dumps(
             {
                 "metric": f"shaded_mpix_per_s_{headline['config']}",
                 "value": round(headline["mpix_per_s"], 2),
                 "unit": "Mpix/s",
-                "vs_baseline": round(vs_baseline, 2),
+                "vs_baseline": vs_cpu(headline),
+                "configs": {
+                    n: {
+                        "frame_ms": round(r["frame_ms"], 2),
+                        "mpix_per_s": round(r["mpix_per_s"], 2),
+                        "vs_baseline": vs_cpu(r),
+                    }
+                    for n, r in results.items()
+                },
             }
         )
     )

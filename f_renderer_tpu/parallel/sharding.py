@@ -128,10 +128,13 @@ def render_frame_sharded(
 
         lin = dp * n_sp + sp
         y0 = lin * slab
+        from f_renderer_tpu.pipeline.fused import fused_path_ok
+
         if (
             config.backend == "pallas"
             and config.fused_shade
             and hasattr(pixel_shader, "fused_kind")
+            and fused_path_ok(pixel_shader, ps_uniform)
         ):
             from f_renderer_tpu.pipeline.fused import render_fused_pallas
 

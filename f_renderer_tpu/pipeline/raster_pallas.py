@@ -626,7 +626,7 @@ def rasterize_pallas(
     *,
     tile: tuple[int, int] = (128, 128),
     chunk: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
     origin: tuple = (0, 0),
     full_size: tuple | None = None,
 ):
@@ -636,7 +636,10 @@ def rasterize_pallas(
     ``origin=(y0, x0)`` renders the sub-rect of a ``full_size`` frame (the
     reference's width_range/height_range concept, renderer.rs:269-298) —
     used for multi-device row-slab sharding. Origin may be traced.
+    ``interpret`` defaults to pallas interpret mode off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     assert chunk % 128 == 0, "chunk must be a multiple of 128"
     th, tw = tile
     tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep(
@@ -657,7 +660,7 @@ def rasterize_interp_pallas(
     *,
     tile: tuple[int, int] = (128, 128),
     chunk: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
     origin: tuple = (0, 0),
     full_size: tuple | None = None,
 ):
@@ -667,7 +670,10 @@ def rasterize_interp_pallas(
     depth (H, W) f32)`` — ctx/ps are garbage where winner < 0; mask
     downstream. Equivalent to rasterize_pallas + shade.interpolate_context
     but without per-pixel gathers from the triangle table.
+    ``interpret`` defaults to pallas interpret mode off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     assert chunk % 128 == 0, "chunk must be a multiple of 128"
     th, tw = tile
     n_ctx = tri.ctx.shape[-1]

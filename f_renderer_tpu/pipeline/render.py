@@ -50,6 +50,9 @@ class RenderConfig:
     cull_backfaces: bool = False
     # Let the fused kernel pick a taller tile for huge triangle counts.
     tile_auto: bool = True
+    # Slot count above which tile_auto switches to 32-row tiles (exposed so
+    # tests can force the tall-tile path at small scene sizes).
+    tile_auto_threshold: int = 300_000
 
 
 def apply_ps_boundary_quirk(tri: TriangleBuffer, num_draws: int) -> TriangleBuffer:
@@ -140,7 +143,13 @@ def render_frame(
     codec = make_context_codec(vertex_shader, vs_uniform, example)
 
     if config.backend == "pallas":
-        if config.fused_shade and hasattr(pixel_shader, "fused_kind"):
+        from f_renderer_tpu.pipeline.fused import fused_path_ok
+
+        if (
+            config.fused_shade
+            and hasattr(pixel_shader, "fused_kind")
+            and fused_path_ok(pixel_shader, ps_uniform)
+        ):
             # Whole per-pixel pipeline in one kernel (pipeline/fused.py).
             from f_renderer_tpu.pipeline.fused import render_fused_pallas
 
