@@ -83,11 +83,17 @@ def build_scene(name: str, backend: str):
         cube2 = make_cube(0.8)
         cube2["pos"] = cube2["pos"] + np.array([-1.6, 0.0, 0.0], np.float32)
         cam = Camera.create([0.0, 0.5, 4.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+        # Three distinct 512² diffuse maps — the reference's phong.rs uses
+        # three character TGA textures at realistic sizes (phong.rs:166-171).
         return make_phong_scene(
             1920,
             1080,
             meshes=[sphere, cube, cube2],
-            textures=[make_checker_texture(128, 8)] * 3,
+            textures=[
+                make_checker_texture(512, 32),
+                make_checker_texture(512, 16),
+                make_checker_texture(512, 24),
+            ],
             camera=cam,
             backend=backend,
         )

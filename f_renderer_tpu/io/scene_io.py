@@ -70,8 +70,8 @@ def load_scene(path: str):
         k[3:]: jnp.asarray(z[k]) for k in z.files if k.startswith("ps_")
     }
     if "tex_data" in z.files:
-        ps_uniform["textures"] = TextureStack(
-            data=jnp.asarray(z["tex_data"]), dims=jnp.asarray(z["tex_dims"])
+        ps_uniform["textures"] = TextureStack.from_data(
+            z["tex_data"], z["tex_dims"]
         )
     c = meta["config"]
     vs, ps = make_phong_shaders()

@@ -176,6 +176,9 @@ def chunk_bounds(tri_i32, chunk: int):
     return jnp.stack([cminx, cmaxx, cminy, cmaxy, cany])
 
 
+COARSE = 4  # coarse tile = COARSE×COARSE fine tiles (hierarchical binning)
+
+
 def bin_pairs(
     tri_i32,
     tile: tuple[int, int],
@@ -184,26 +187,39 @@ def bin_pairs(
     chunk: int,
     m_dummy: int,
     origin=(0, 0),
+    kc: int = 6,
 ):
-    """Exact per-tile triangle lists via (tile, triangle) pair expansion.
+    """Hierarchical per-tile triangle lists via (tile, triangle) pair expansion.
 
-    Each triangle emits one pair per covered tile (bbox ∩ tile grid), up to
-    ``k`` pairs; triangles spanning more than ``k`` tiles go to a shared
-    spill bucket that every tile scans (gated). Pairs are sorted by tile id,
-    giving per-tile contiguous ranges:
+    Three levels (each triangle lands in exactly one):
 
-    Returns ``(pair_tri (Npad,) i32 — triangle ids in tile order, dummy
-    ``m_dummy`` in padding, off (ntiles+2,) i32 — off[t]..off[t+1] is tile
-    t's pair range, off[ntiles]..off[ntiles+1] the spill range)``.
+    - span ≤ ``k`` fine tiles → one exact pair per covered fine tile;
+    - span ≤ ``kc`` *coarse* tiles (COARSE×COARSE fine tiles each) → one
+      pair per covered coarse tile; the fine tiles inside gate per-triangle
+      on a bbox test. This replaces the r1 every-tile spill scan for
+      mid-size triangles (the stress4k 1M-tri killer: each of ~2k tiles
+      paid a gate per spilled triangle);
+    - larger → a shared spill bucket every tile scans (such triangles
+      genuinely cover much of the screen, so gating them is cheap relative
+      to their vector work).
+
+    Pairs are sorted by key, giving contiguous ranges. Returns
+    ``(pair_tri (Npad,) i32 — triangle ids, dummy ``m_dummy`` in padding,
+    off (ntiles+ntilesc+2,) i32)`` where ``off[t]..off[t+1]`` is fine tile
+    t's range, ``off[ntiles+c]..off[ntiles+c+1]`` coarse tile c's range and
+    the final pair the spill range.
 
     The merge is idempotent (equal (rhw, order) re-encounters are rejected
-    by the strict tiebreak), so boundary-chunk bleed between adjacent tiles'
+    by the strict tiebreak), so boundary-chunk bleed between adjacent
     ranges is harmless.
     """
     th, tw = tile
     nty, ntx = grid_hw
     ntiles = nty * ntx
-    big = jnp.int32(ntiles + 1)
+    ntyc = _cdiv(nty, COARSE)
+    ntxc = _cdiv(ntx, COARSE)
+    ntilesc = ntyc * ntxc
+    big = jnp.int32(ntiles + ntilesc + 1)
     y_org, x_org = origin  # may be traced (sharded row slabs)
     minx = jnp.clip(tri_i32[_MINX] - x_org, 0, ntx * tw)
     maxx = jnp.clip(tri_i32[_MAXX] - x_org, 0, ntx * tw)
@@ -217,6 +233,12 @@ def bin_pairs(
     ncols = tx1 - tx0 + 1
     span = ncols * (ty1 - ty0 + 1)
     small = nonempty & (span <= k)
+    # Coarse-level cover for the rest.
+    ctx0, ctx1 = tx0 // COARSE, tx1 // COARSE
+    cty0, cty1 = ty0 // COARSE, ty1 // COARSE
+    ncolsc = ctx1 - ctx0 + 1
+    cspan = ncolsc * (cty1 - cty0 + 1)
+    mid = nonempty & ~small & (cspan <= kc)
 
     m = tri_i32.shape[1]
     tri_ids = jnp.arange(m, dtype=jnp.int32)
@@ -225,14 +247,23 @@ def bin_pairs(
         tyj = ty0 + j // ncols
         txj = tx0 + j % ncols
         keys.append(jnp.where(small & (j < span), tyj * ntx + txj, big))
-    key = jnp.concatenate(keys + [jnp.where(nonempty & ~small, ntiles, big)])
-    ptri = jnp.concatenate([jnp.tile(tri_ids, k), tri_ids])
+    for j in range(kc):
+        ctyj = cty0 + j // ncolsc
+        ctxj = ctx0 + j % ncolsc
+        keys.append(
+            jnp.where(mid & (j < cspan), ntiles + ctyj * ntxc + ctxj, big)
+        )
+    keys.append(
+        jnp.where(nonempty & ~small & ~mid, ntiles + ntilesc, big)
+    )
+    key = jnp.concatenate(keys)
+    ptri = jnp.tile(tri_ids, k + kc + 1)
     perm = jnp.argsort(key, stable=True)
     key_s = key[perm]
     ptri_s = ptri[perm]
-    off = jnp.searchsorted(key_s, jnp.arange(ntiles + 2, dtype=jnp.int32)).astype(
-        jnp.int32
-    )
+    off = jnp.searchsorted(
+        key_s, jnp.arange(ntiles + ntilesc + 2, dtype=jnp.int32)
+    ).astype(jnp.int32)
     n = ptri_s.shape[0]
     n_pad = _cdiv(n, chunk) * chunk
     ptri_s = jnp.concatenate(
@@ -240,7 +271,7 @@ def bin_pairs(
     )
     # Padding / invalid pairs point at the dummy (empty-bbox) slot.
     ptri_s = jnp.where(
-        jnp.arange(n_pad) < off[ntiles + 1], ptri_s[:n_pad], m_dummy
+        jnp.arange(n_pad) < off[ntiles + ntilesc + 1], ptri_s[:n_pad], m_dummy
     )
     return ptri_s, off
 
@@ -433,25 +464,42 @@ def _make_kernel(
                 jnp.full((th, tw), -1, jnp.int32),
             )
         if binned:
-            # cb_ref is the per-tile pair-offset table (bin_pairs): own
-            # exact range, then the shared spill range — no chunk gates.
+            # cb_ref is the pair-offset table (bin_pairs): own exact fine
+            # range (ungated), then this tile's coarse-bin range and the
+            # shared spill range (both bbox-gated per triangle).
             # Chunk DMAs are double-buffered (start i+1 while processing i)
             # so the ~µs HBM latency hides behind the triangle vector work.
+            nty_g = pl.num_programs(0)
             ntx_g = pl.num_programs(1)
-            ntiles = pl.num_programs(0) * ntx_g
+            ntiles = nty_g * ntx_g
+            ntxc = _cdiv(ntx_g, COARSE)
+            ntilesc = _cdiv(nty_g, COARSE) * ntxc
             t_lin = ty * ntx_g + tx
+            c_lin = ntiles + (ty // COARSE) * ntxc + (tx // COARSE)
             start = cb_ref[t_lin]
             end = cb_ref[t_lin + 1]
-            s_start = cb_ref[ntiles]
-            s_end = cb_ref[ntiles + 1]
+            c_start = cb_ref[c_lin]
+            c_end = cb_ref[c_lin + 1]
+            s_start = cb_ref[ntiles + ntilesc]
+            s_end = cb_ref[ntiles + ntilesc + 1]
             c0 = start // chunk
             n_own = (end + chunk - 1) // chunk - c0
+            cc0 = c_start // chunk
+            n_coarse = (c_end + chunk - 1) // chunk - cc0
             s0 = s_start // chunk
             n_spill = (s_end + chunk - 1) // chunk - s0
-            n_tot = n_own + n_spill
+            n_tot = n_own + n_coarse + n_spill
 
             def chunk_of(i):
-                return jnp.where(i < n_own, c0 + i, s0 + (i - n_own))
+                return jnp.where(
+                    i < n_own,
+                    c0 + i,
+                    jnp.where(
+                        i < n_own + n_coarse,
+                        cc0 + (i - n_own),
+                        s0 + (i - n_own - n_coarse),
+                    ),
+                )
 
             def start_dma(i):
                 slot = jax.lax.rem(i, 2)
@@ -489,13 +537,16 @@ def _make_kernel(
                     vf_ref.at[slot],
                     sem_f.at[slot],
                 ).wait()
-                lo_own = jnp.maximum(start - ci * chunk, 0)
-                hi_own = jnp.minimum(end - ci * chunk, chunk)
-                lo_sp = jnp.maximum(s_start - ci * chunk, 0)
-                hi_sp = jnp.minimum(s_end - ci * chunk, chunk)
                 is_own = i < n_own
-                lo = jnp.where(is_own, lo_own, lo_sp)
-                hi = jnp.where(is_own, hi_own, hi_sp)
+                is_coarse = ~is_own & (i < n_own + n_coarse)
+                r_start = jnp.where(
+                    is_own, start, jnp.where(is_coarse, c_start, s_start)
+                )
+                r_end = jnp.where(
+                    is_own, end, jnp.where(is_coarse, c_end, s_end)
+                )
+                lo = jnp.maximum(r_start - ci * chunk, 0)
+                hi = jnp.minimum(r_end - ci * chunk, chunk)
                 return jax.lax.cond(
                     is_own,
                     lambda c: jax.lax.fori_loop(
@@ -530,7 +581,7 @@ def _make_kernel(
 
 def _prep_binned(
     tri, width, height, tile, chunk, k, *, with_ctx, origin=(0, 0),
-    full_size=None,
+    full_size=None, kc=None,
 ):
     """pack_setup + bin_pairs + pair-order gather.
 
@@ -548,7 +599,7 @@ def _prep_binned(
     tri_i32, tri_f32 = pack_setup(tri, fw, fh, m_pad, with_ctx=with_ctx)
     ptri, off = bin_pairs(
         tri_i32, tile, (h_pad // th, w_pad // tw), k, chunk, m_dummy=m,
-        origin=origin,
+        origin=origin, kc=k if kc is None else kc,
     )
     bi = tri_i32[:, ptri]
     bf = tri_f32[:, ptri]

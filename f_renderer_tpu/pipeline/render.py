@@ -53,6 +53,9 @@ class RenderConfig:
     # Slot count above which tile_auto switches to 32-row tiles (exposed so
     # tests can force the tall-tile path at small scene sizes).
     tile_auto_threshold: int = 300_000
+    # Override the per-tile pair-expansion cap (None = size heuristic).
+    # Small values force the hierarchical coarse-bin/spill kernel paths.
+    bin_k: int | None = None
 
 
 def apply_ps_boundary_quirk(tri: TriangleBuffer, num_draws: int) -> TriangleBuffer:

@@ -6,6 +6,18 @@ texture index is a per-pixel value, so textures live in one padded
 (T, Hmax, Wmax, 4) f32 stack indexed by gather. Sampling reproduces
 FrameBuffer::sample_2d (renderer.rs:516-538) including the width-clamp
 quirk (SURVEY.md §7.3.7).
+
+Storage is u8-backed like the reference (FrameBuffer textures are RGBA8
+byte buffers, renderer.rs:411-425; load_file decodes u8 images,
+renderer.rs:427-471): ``create`` quantizes float inputs to u8 once, so
+every texel value is k/255. Two device representations are kept:
+
+- ``data``  (T, Hmax, Wmax, 4) f32 — the XLA gather path / golden oracle.
+- ``packed`` (T·Hmax·pages, 128) i32 — RGBA8 packed per texel, the x axis
+  split into ``pages`` lanes-of-128 pages (flat row =
+  t·Hmax·pages + y·pages + page). This is what Pallas kernels keep in VMEM:
+  4 bytes/texel instead of 16, and any texture width (the r1 fused path was
+  limited to 128-px-wide textures).
 """
 
 from __future__ import annotations
@@ -16,45 +28,97 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Pallas sampler dispatch: None = auto (TPU backend, batched call, texture
-# width ≤ 128 lanes), True/False = force. See texture_pallas.py.
+LANES = 128
+
+# Pallas sampler dispatch: None = auto (TPU backend, batched call, packed
+# stack fits the VMEM budget), True/False = force. See texture_pallas.py.
 USE_PALLAS_SAMPLER: bool | None = None
 
+# VMEM the packed stack may occupy in a kernel before falling back to the
+# XLA path (v5e has ~16 MB more-or-less free after tile working sets).
+PACKED_VMEM_BUDGET = 8 * 1024 * 1024
 
-def _pallas_sampler_ok(data, index) -> bool:
+
+def _pallas_sampler_ok(stack, index) -> bool:
     if USE_PALLAS_SAMPLER is not None:
         return USE_PALLAS_SAMPLER
     return (
         index.ndim >= 1
-        and data.shape[2] <= 128
+        and stack.packed_nbytes <= PACKED_VMEM_BUDGET
         and jax.default_backend() == "tpu"
     )
+
+
+def pack_rgba8(q: np.ndarray) -> np.ndarray:
+    """(T, Hmax, Wmax, 4) u8 → (T·Hmax·pages, 128) i32 paged packed texels."""
+    t, hmax, wmax = q.shape[:3]
+    pages = -(-max(wmax, 1) // LANES)
+    qq = np.zeros((t, hmax, pages * LANES, 4), np.uint32)
+    qq[:, :, :wmax] = q
+    packed = (
+        qq[..., 0] | (qq[..., 1] << 8) | (qq[..., 2] << 16) | (qq[..., 3] << 24)
+    ).astype(np.uint32)
+    return packed.reshape(t * hmax * pages, LANES).view(np.int32)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TextureStack:
-    data: jnp.ndarray  # (T, Hmax, Wmax, 4) f32 in [0,1]
+    data: jnp.ndarray  # (T, Hmax, Wmax, 4) f32 in [0,1], u8-backed
     dims: jnp.ndarray  # (T, 2) i32 — (height, width) per texture
+    packed: jnp.ndarray  # (T·Hmax·pages, 128) i32 — RGBA8 packed, x paged
+
+    @property
+    def pages(self) -> int:
+        """Lanes-of-128 pages per texture row (static)."""
+        t, hmax = self.data.shape[0], self.data.shape[1]
+        return self.packed.shape[0] // (t * hmax)
+
+    @property
+    def packed_nbytes(self) -> int:
+        return int(self.packed.shape[0]) * LANES * 4
 
     @staticmethod
     def create(textures, *, dtype=jnp.float32) -> "TextureStack":
-        """Build from a list of (H, W, 4) u8 or float arrays."""
-        texf = []
+        """Build from a list of (H, W, 4) u8 or float arrays.
+
+        Float inputs are quantized to u8 once (the reference has no float
+        textures — they come from u8 image files), so the f32 and packed
+        representations describe identical texel values.
+        """
+        texq = []
         for t in textures:
             t = np.asarray(t)
-            if t.dtype == np.uint8:
-                t = t.astype(np.float32) / 255.0
-            texf.append(t.astype(np.float32))
-        hmax = max(t.shape[0] for t in texf)
-        wmax = max(t.shape[1] for t in texf)
-        data = np.zeros((len(texf), hmax, wmax, 4), np.float32)
-        dims = np.zeros((len(texf), 2), np.int32)
-        for i, t in enumerate(texf):
-            data[i, : t.shape[0], : t.shape[1]] = t
+            if t.dtype != np.uint8:
+                t = np.clip(np.round(t.astype(np.float32) * 255.0), 0, 255).astype(
+                    np.uint8
+                )
+            texq.append(t)
+        hmax = max(t.shape[0] for t in texq)
+        wmax = max(t.shape[1] for t in texq)
+        q = np.zeros((len(texq), hmax, wmax, 4), np.uint8)
+        dims = np.zeros((len(texq), 2), np.int32)
+        for i, t in enumerate(texq):
+            q[i, : t.shape[0], : t.shape[1]] = t
             dims[i] = (t.shape[0], t.shape[1])
+        data = q.astype(np.float32) / 255.0
         return TextureStack(
-            data=jnp.asarray(data, dtype), dims=jnp.asarray(dims)
+            data=jnp.asarray(data, dtype),
+            dims=jnp.asarray(dims),
+            packed=jnp.asarray(pack_rgba8(q)),
+        )
+
+    @staticmethod
+    def from_data(data, dims) -> "TextureStack":
+        """Rebuild from a padded (T, Hmax, Wmax, 4) f32 stack + dims
+        (deserialization path — data values must be u8-backed, k/255)."""
+        q = np.clip(
+            np.round(np.asarray(data, np.float32) * 255.0), 0, 255
+        ).astype(np.uint8)
+        return TextureStack(
+            data=jnp.asarray(data, jnp.float32),
+            dims=jnp.asarray(np.asarray(dims, np.int32)),
+            packed=jnp.asarray(pack_rgba8(q)),
         )
 
     def sample(self, index, uv, *, replicate_clamp_bug: bool = True):
@@ -71,16 +135,18 @@ class TextureStack:
         (texture_pallas.py) — ~10× the XLA gather path.
         """
         index = jnp.asarray(index)
-        if _pallas_sampler_ok(self.data, index):
+        if _pallas_sampler_ok(self, index):
             from f_renderer_tpu.shaders.texture_pallas import (
                 sample_bilinear_pallas,
             )
 
             return sample_bilinear_pallas(
-                self.data.astype(jnp.float32),
+                self.packed,
                 self.dims,
                 index,
                 jnp.asarray(uv, jnp.float32),
+                hmax=int(self.data.shape[1]),
+                pages=self.pages,
                 replicate_clamp_bug=replicate_clamp_bug,
             )
         h = jnp.int32(0)
@@ -96,11 +162,16 @@ class TextureStack:
         y_hi = (w if replicate_clamp_bug else h) - 1
         x = jnp.where(jnp.isnan(x), 0.0, x)
         y = jnp.where(jnp.isnan(y), 0.0, y)
+        hmax, wmax = self.data.shape[1], self.data.shape[2]
         x1 = jnp.clip(jnp.trunc(x), 0, w - 1).astype(jnp.int32)
         y1 = jnp.clip(jnp.trunc(y), 0, y_hi).astype(jnp.int32)
         x2 = jnp.clip(x1 + 1, 0, w - 1)
         y2 = jnp.clip(y1 + 1, 0, y_hi)
-        hmax, wmax = self.data.shape[1], self.data.shape[2]
+        # Where the width-clamp quirk sends y past the texture height the
+        # reference panics (renderer.rs:505-514 index OOB); we clamp to the
+        # stack's row extent so all paths return the same defined value.
+        y1 = jnp.minimum(y1, hmax - 1)
+        y2 = jnp.minimum(y2, hmax - 1)
         flat = self.data.reshape(-1, self.data.shape[-1])
         base = index * (hmax * wmax)
 

@@ -1,22 +1,29 @@
-"""Pallas TPU bilinear texture sampler.
+"""Pallas TPU bilinear texture sampler over the packed RGBA8 stack.
 
 XLA per-pixel texel gathers cost ~24 ms/frame at 1080p on v5e (the best
 formulation — baselines/profile_texture.py); this kernel replaces them with
 in-VMEM lookups:
 
-- The texture stack lives in VMEM channel-major as (4, T·Hmax, Wpad=128) —
-  one sublane row per texture row, lanes = texture x. Requires Wmax ≤ 128
-  (the hardware lane width); wider textures fall back to the XLA path.
-- Pixels are processed in (BS, 128) blocks. Per block the kernel computes
-  the touched texture-row range [rmin, rmax] (dynamic fori bounds) and for
-  each row in range does one 128-lane dynamic gather per x-tap per channel
-  (``jnp.take_along_axis`` — Mosaic lane gather, supported on v5e+), masked
-  by the per-pixel bilinear row weight. Spatially coherent uv (the raster
-  case) touches only a few rows per block, so cost ≈ O(rows touched).
+- Textures live in VMEM as ``TextureStack.packed``: one i32 per texel
+  (RGBA8), texture x split into pages of 128 lanes — flat row =
+  t·Hmax·pages + y·pages + page. 4 bytes/texel (vs 16 for the r1
+  channel-major f32 layout) and **any texture width**, not just ≤128.
+- Pixels are processed in (BS, 128) blocks. Sampling loops over textures
+  (static, T is small); per texture it computes the touched row range
+  [y_lo, y_hi] × page range [p_lo, p_hi] from only the pixels that select
+  that texture, then per (row, page) does one 128-lane dynamic gather per
+  x-tap (``jnp.take_along_axis`` — Mosaic lane gather, v5e+), unpacks the
+  four u8 channels, and accumulates with the per-pixel bilinear weights.
+  Per-texture ranges mean a block straddling two draws pays
+  y_span(A) + y_span(B), not the whole distance between their stack rows.
 - Bilinear semantics replicate FrameBuffer::sample_2d (renderer.rs:516-538)
-  including the width-clamp-on-y quirk and fract() weights; pixels with
-  ps_index < 0 (background) are excluded from the row range and produce
-  garbage — callers mask by winner.
+  including the width-clamp-on-y quirk and fract() weights; texel values
+  are u8/255 exactly (f32 division) so results match the XLA f32 path.
+- Pixels with ps_index < 0 (background) are excluded from the ranges and
+  produce garbage — callers mask by winner. uv that the width-clamp quirk
+  sends past a texture's real height reads stack padding (zeros) here vs
+  clamped garbage in the XLA path — both are out-of-contract garbage
+  (SURVEY.md §7.3.7).
 """
 
 from __future__ import annotations
@@ -35,94 +42,146 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _unpack_u8(g, c):
+    """Channel c of packed RGBA8 i32 → f32 in [0,1] (exactly k/255)."""
+    return ((g >> (8 * c)) & 0xFF).astype(jnp.float32) / 255.0
+
+
+def sample_packed_planar(
+    tex_ref,  # VMEM ref (T·Hmax·pages, 128) i32 — packed stack
+    dims,  # SMEM ref (T, 2) i32 or concrete array
+    ps,  # (bs, 128) i32 — per-pixel texture id, -1 = invalid
+    u,  # (bs, 128) f32
+    v,  # (bs, 128) f32
+    *,
+    t_count: int,
+    hmax: int,
+    pages: int,
+    replicate_clamp_bug: bool = True,
+):
+    """Shared in-kernel sampling core → 4 (bs, 128) f32 channel planes.
+
+    Usable from any Pallas kernel that keeps the packed stack in VMEM
+    (the standalone sampler below and the fused renderer's epilogue).
+    """
+    shape = ps.shape
+    acc = tuple(jnp.zeros(shape, jnp.float32) for _ in range(4))
+    for t in range(t_count):
+        sel = ps == t
+        h_t = dims[t, 0]
+        w_t = dims[t, 1]
+        wf = w_t.astype(jnp.float32)
+        hf = h_t.astype(jnp.float32)
+        x = u * wf
+        y = v * hf
+        a = x - jnp.trunc(x)
+        b = y - jnp.trunc(y)
+        x = jnp.where(jnp.isnan(x), 0.0, x)
+        y = jnp.where(jnp.isnan(y), 0.0, y)
+        y_hi_clamp = (w_t if replicate_clamp_bug else h_t) - 1
+        x1 = jnp.clip(jnp.trunc(x), 0.0, wf - 1.0).astype(jnp.int32)
+        y1 = jnp.clip(
+            jnp.trunc(y), 0.0, y_hi_clamp.astype(jnp.float32)
+        ).astype(jnp.int32)
+        x1 = jnp.maximum(x1, 0)
+        y1 = jnp.maximum(y1, 0)
+        x2 = jnp.minimum(x1 + 1, w_t - 1)
+        y2 = jnp.minimum(y1 + 1, y_hi_clamp)
+        # Reference-panic region (width-clamp quirk past the texture height):
+        # clamp to the stack rows, matching the XLA path (texture.py).
+        y1 = jnp.minimum(y1, hmax - 1)
+        y2 = jnp.minimum(y2, hmax - 1)
+        lane1 = x1 & (LANES - 1)
+        lane2 = x2 & (LANES - 1)
+        px1 = x1 >> 7
+        px2 = x2 >> 7
+        wx1 = 1.0 - a
+        wx2 = a
+        wy1 = 1.0 - b
+        wy2 = b
+
+        big = jnp.int32(2**30)
+        y_lo = jnp.clip(jnp.min(jnp.where(sel, y1, big)), 0, hmax - 1)
+        y_hi = jnp.clip(jnp.max(jnp.where(sel, y2, -1)), -1, hmax - 1)
+        if pages > 1:
+            p_lo = jnp.clip(jnp.min(jnp.where(sel, px1, big)), 0, pages - 1)
+            p_hi = jnp.clip(jnp.max(jnp.where(sel, px2, -1)), -1, pages - 1)
+        base_t = t * hmax * pages
+
+        def tap_accum(acc, row, page, wy_row):
+            trow = jnp.broadcast_to(tex_ref[pl.ds(row, 1), :], shape)
+            g1 = jnp.take_along_axis(trow, lane1, axis=1)
+            g2 = jnp.take_along_axis(trow, lane2, axis=1)
+            m1 = sel & (px1 == page)
+            m2 = sel & (px2 == page)
+            w1 = jnp.where(m1, wx1 * wy_row, 0.0)
+            w2 = jnp.where(m2, wx2 * wy_row, 0.0)
+            return tuple(
+                acc[c] + w1 * _unpack_u8(g1, c) + w2 * _unpack_u8(g2, c)
+                for c in range(4)
+            )
+
+        def y_body(yy, acc):
+            wy_row = jnp.where(y1 == yy, wy1, 0.0) + jnp.where(y2 == yy, wy2, 0.0)
+            if pages == 1:
+                return tap_accum(acc, base_t + yy, 0, wy_row)
+
+            def p_body(pg, acc):
+                return tap_accum(acc, base_t + yy * pages + pg, pg, wy_row)
+
+            return jax.lax.fori_loop(p_lo, p_hi + 1, p_body, acc)
+
+        acc = jax.lax.fori_loop(y_lo, y_hi + 1, y_body, acc)
+    return acc
+
+
 def _sample_kernel(
-    dims_ref,  # SMEM (T, 2) i32 — (h, w) per texture
+    dims_ref,  # SMEM (T, 2) i32
     ps_ref,  # (BS, 128) i32
     u_ref,  # (BS, 128) f32
     v_ref,  # (BS, 128) f32
-    tex_ref,  # VMEM (4, T*Hmax, 128) f32
+    tex_ref,  # VMEM (T·Hmax·pages, 128) i32
     out_ref,  # (4, BS, 128) f32
     *,
     t_count: int,
     hmax: int,
-    bs: int,
+    pages: int,
     replicate_clamp_bug: bool,
 ):
-    ps = ps_ref[...]
-    u = u_ref[...]
-    v = v_ref[...]
-    h = jnp.zeros((bs, LANES), jnp.int32)
-    w = jnp.zeros((bs, LANES), jnp.int32)
-    for t in range(t_count):
-        sel = ps == t
-        h = jnp.where(sel, dims_ref[t, 0], h)
-        w = jnp.where(sel, dims_ref[t, 1], w)
-    wf = w.astype(jnp.float32)
-    hf = h.astype(jnp.float32)
-    x = u * wf
-    y = v * hf
-    a = x - jnp.trunc(x)
-    b = y - jnp.trunc(y)
-    x = jnp.where(jnp.isnan(x), 0.0, x)
-    y = jnp.where(jnp.isnan(y), 0.0, y)
-    y_hi = (w if replicate_clamp_bug else h) - 1  # renderer.rs:523-525 quirk
-    x1 = jnp.clip(jnp.trunc(x), 0.0, wf - 1.0).astype(jnp.int32)
-    y1 = jnp.clip(jnp.trunc(y), 0.0, y_hi.astype(jnp.float32)).astype(jnp.int32)
-    x2 = jnp.minimum(x1 + 1, w - 1)
-    y2 = jnp.minimum(y1 + 1, y_hi)
-    # Invalid (background) pixels: ps < 0 → harmless in-bounds indices.
-    valid = ps >= 0
-    x1 = jnp.maximum(x1, 0)
-    x2 = jnp.maximum(x2, 0)
-    row1 = jnp.where(valid, ps * hmax + jnp.maximum(y1, 0), 0)
-    row2 = jnp.where(valid, ps * hmax + jnp.maximum(y2, 0), 0)
-
-    nrows = t_count * hmax
-    rmin = jnp.min(jnp.where(valid, row1, nrows - 1))
-    rmax = jnp.max(jnp.where(valid, row2, 0))
-
-    wx1 = 1.0 - a
-    wx2 = a
-    wy1 = 1.0 - b
-    wy2 = b
-
-    def row_body(r, acc):
-        wy = jnp.where(row1 == r, wy1, 0.0) + jnp.where(row2 == r, wy2, 0.0)
-        new = []
-        for c in range(4):
-            trow = jnp.broadcast_to(tex_ref[c, r, :][None, :], (bs, LANES))
-            g1 = jnp.take_along_axis(trow, x1, axis=1)
-            g2 = jnp.take_along_axis(trow, x2, axis=1)
-            new.append(acc[c] + wy * (wx1 * g1 + wx2 * g2))
-        return tuple(new)
-
-    acc = jax.lax.fori_loop(
-        rmin,
-        rmax + 1,
-        row_body,
-        tuple(jnp.zeros((bs, LANES), jnp.float32) for _ in range(4)),
+    acc = sample_packed_planar(
+        tex_ref,
+        dims_ref,
+        ps_ref[...],
+        u_ref[...],
+        v_ref[...],
+        t_count=t_count,
+        hmax=hmax,
+        pages=pages,
+        replicate_clamp_bug=replicate_clamp_bug,
     )
     for c in range(4):
         out_ref[c] = acc[c]
 
 
 def sample_bilinear_pallas(
-    data: jnp.ndarray,  # (T, Hmax, Wmax, 4) f32
+    packed: jnp.ndarray,  # (T·Hmax·pages, 128) i32 — TextureStack.packed
     dims: jnp.ndarray,  # (T, 2) i32
     index: jnp.ndarray,  # (...,) i32, -1 = invalid
     uv: jnp.ndarray,  # (..., 2) f32
     *,
+    hmax: int,
+    pages: int,
     block: int = 8,
     replicate_clamp_bug: bool = True,
     interpret: bool = False,
 ):
-    """Bilinear-sample the stack at batched (index, uv). Returns (..., 4) f32.
+    """Bilinear-sample the packed stack at batched (index, uv) → (..., 4) f32.
 
-    Requires Wmax ≤ 128. Output for index < 0 pixels is garbage (callers
-    mask); out-of-range uv follows the reference clamp semantics.
+    Output for index < 0 pixels is garbage (callers mask); out-of-range uv
+    follows the reference clamp semantics.
     """
-    t, hmax, wmax = data.shape[0], data.shape[1], data.shape[2]
-    assert wmax <= LANES, "texture wider than 128 lanes — use the XLA path"
+    t = dims.shape[0]
+    assert packed.shape[0] == t * hmax * pages, (packed.shape, t, hmax, pages)
     shape = index.shape
     p = 1
     for s in shape:
@@ -141,18 +200,11 @@ def sample_bilinear_pallas(
     u2 = flat_pad(uv[..., 0].astype(jnp.float32), 0.0)
     v2 = flat_pad(uv[..., 1].astype(jnp.float32), 0.0)
 
-    # channel-major, x padded to the 128 lanes
-    texcm = jnp.transpose(data.astype(jnp.float32), (3, 0, 1, 2)).reshape(
-        4, t * hmax, wmax
-    )
-    if wmax < LANES:
-        texcm = jnp.pad(texcm, ((0, 0), (0, 0), (0, LANES - wmax)))
-
     kernel = functools.partial(
         _sample_kernel,
         t_count=t,
         hmax=hmax,
-        bs=block,
+        pages=pages,
         replicate_clamp_bug=replicate_clamp_bug,
     )
     out = pl.pallas_call(
@@ -164,11 +216,11 @@ def sample_bilinear_pallas(
             pl.BlockSpec((block, LANES), lambda i: (i, 0)),
             pl.BlockSpec((block, LANES), lambda i: (i, 0)),
             pl.BlockSpec(
-                (4, t * hmax, LANES), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec((4, block, LANES), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((4, rows_pad, LANES), jnp.float32),
         interpret=interpret,
-    )(dims.astype(jnp.int32), ps2, u2, v2, texcm)
+    )(dims.astype(jnp.int32), ps2, u2, v2, packed)
     return jnp.moveaxis(out, 0, -1).reshape(-1, 4)[:p].reshape(shape + (4,))

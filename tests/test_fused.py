@@ -67,6 +67,19 @@ def test_textured_shader():
     assert (np.asarray(frame)[..., 0] != 30).sum() > 300
 
 
+def test_coarse_bins_exact():
+    """bin_k=1 pushes most triangles through the coarse/spill kernel paths;
+    output must still match the jnp pipeline exactly (associative merge)."""
+    cube2 = make_cube(0.7)
+    cube2["pos"] = cube2["pos"] + np.array([0.9, 0.2, 0.0], np.float32)
+    scene = make_phong_scene(128, 96, meshes=[make_cube(), cube2], clip_cap=32)
+    scene = dataclasses.replace(
+        scene,
+        config=dataclasses.replace(scene.config, tile=(16, 128), bin_k=1),
+    )
+    fused_vs_jnp(scene)
+
+
 def test_tile_auto_32row():
     """Force the tall-tile (th=32) path at a small slot count."""
     scene = make_phong_scene(128, 96, meshes=[make_cube()], clip_cap=16)
@@ -79,12 +92,32 @@ def test_tile_auto_32row():
     fused_vs_jnp(scene)
 
 
-def test_wide_texture_falls_back():
-    """A >128-px-wide texture must select the non-fused pallas path, not
-    crash in prep_texture_cm (VERDICT r1 weak #4)."""
-    from f_renderer_tpu.pipeline.fused import fused_path_ok
+def test_wide_texture_fused():
+    """>128-px-wide textures run IN the fused kernel (packed paged stack)."""
     from f_renderer_tpu.scene import make_checker_texture
 
+    scene = make_phong_scene(
+        128, 96,
+        meshes=[make_cube()],
+        textures=[make_checker_texture(192, 12)],
+        clip_cap=16,
+    )
+    scene = dataclasses.replace(
+        scene, config=dataclasses.replace(scene.config, tile=(16, 128))
+    )
+    assert scene.ps_uniform["textures"].pages == 2
+    frame = fused_vs_jnp(scene)
+    assert (np.asarray(frame)[..., 0] != 30).sum() > 300
+
+
+def test_oversized_texture_falls_back(monkeypatch):
+    """A stack past the VMEM budget must select the non-fused pallas path,
+    not crash in fused prep (VERDICT r1 weak #4)."""
+    from f_renderer_tpu.pipeline.fused import fused_path_ok
+    from f_renderer_tpu.scene import make_checker_texture
+    from f_renderer_tpu.shaders import texture as texture_mod
+
+    monkeypatch.setattr(texture_mod, "PACKED_VMEM_BUDGET", 1024)
     scene = make_phong_scene(
         96, 64,
         meshes=[make_cube()],

@@ -110,11 +110,13 @@ def test_interp_matches_deferred(rng):
     )
 
 
-def test_bin_pairs_exact_coverage(rng):
-    # Every (tile, triangle) overlap must be reachable: either via the
-    # tile's own pair range or via the spill bucket.
+@pytest.mark.parametrize("k", [1, 4])
+def test_bin_pairs_exact_coverage(rng, k):
+    # Every (tile, triangle) overlap must be reachable: via the tile's own
+    # fine range, its coarse tile's range, or the spill bucket (the
+    # hierarchical scheme; small k forces heavy coarse/spill use).
     from f_renderer_tpu.pipeline.raster_pallas import (
-        _MAXX, _MAXY, _MINX, _MINY, bin_pairs, pack_setup,
+        _MAXX, _MAXY, _MINX, _MINY, COARSE, bin_pairs, pack_setup,
     )
 
     buf = make_buffer(rng, n_faces=40, spread=2.0)
@@ -123,16 +125,20 @@ def test_bin_pairs_exact_coverage(rng):
     m_pad = ((m + 1 + 127) // 128) * 128
     ti, _ = pack_setup(buf, W, H, m_pad, with_ctx=True)
     nty, ntx = -(-H // th), -(-W // tw)
-    k = 4
-    ptri, off = bin_pairs(ti, (th, tw), (nty, ntx), k, 128, m_dummy=m)
+    ptri, off = bin_pairs(ti, (th, tw), (nty, ntx), k, 128, m_dummy=m, kc=k)
     ptri = np.asarray(ptri)
     off = np.asarray(off)
     ti = np.asarray(ti)
     ntiles = nty * ntx
-    spill = set(ptri[off[ntiles] : off[ntiles + 1]].tolist())
+    ntxc = -(-ntx // COARSE)
+    ntilesc = -(-nty // COARSE) * ntxc
+    spill = set(ptri[off[ntiles + ntilesc] : off[ntiles + ntilesc + 1]].tolist())
+    hit_via = {"own": 0, "coarse": 0, "spill": 0}
     for t in range(ntiles):
         own = set(ptri[off[t] : off[t + 1]].tolist())
         ty, tx = divmod(t, ntx)
+        c = ntiles + (ty // COARSE) * ntxc + (tx // COARSE)
+        coarse = set(ptri[off[c] : off[c + 1]].tolist())
         y0, x0 = ty * th, tx * tw
         for s in range(m):
             minx, maxx = ti[_MINX, s], ti[_MAXX, s]
@@ -143,7 +149,11 @@ def test_bin_pairs_exact_coverage(rng):
                 and miny < y0 + th and maxy > y0
             )
             if overlaps:
-                assert s in own or s in spill, (t, s)
+                assert s in own or s in coarse or s in spill, (t, s)
+                via = "own" if s in own else ("coarse" if s in coarse else "spill")
+                hit_via[via] += 1
+    if k == 1:  # small k must actually exercise the coarse level
+        assert hit_via["coarse"] > 0
 
 
 def test_empty_buffer():

@@ -1,4 +1,4 @@
-"""Pallas texture sampler (interpret mode) vs the XLA flat-take sampler."""
+"""Pallas packed-RGBA8 texture sampler (interpret mode) vs the XLA sampler."""
 
 import numpy as np
 import pytest
@@ -24,15 +24,52 @@ def xla_sample(stack, idx, uv):
         texture_mod.USE_PALLAS_SAMPLER = old
 
 
+def pallas_sample(stack, idx, uv):
+    return sample_bilinear_pallas(
+        stack.packed,
+        stack.dims,
+        jnp.asarray(idx),
+        jnp.asarray(uv),
+        hmax=int(stack.data.shape[1]),
+        pages=stack.pages,
+        interpret=True,
+    )
+
+
 def test_matches_xla_sampler(rng):
     stack = make_stack(rng)
     idx = jnp.asarray(rng.integers(0, 3, (17, 33)), jnp.int32)
     uv = jnp.asarray(rng.random((17, 33, 2)), jnp.float32)
     ref = np.asarray(xla_sample(stack, idx, uv))
-    out = np.asarray(
-        sample_bilinear_pallas(stack.data, stack.dims, idx, uv, interpret=True)
-    )
+    out = np.asarray(pallas_sample(stack, idx, uv))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_wide_texture_pages(rng):
+    # Wmax = 300 → 3 lane pages; mixed widths exercise per-texture ranges.
+    stack = TextureStack.create(
+        [
+            rng.random((40, 300, 4)).astype(np.float32),
+            rng.random((64, 190, 4)).astype(np.float32),
+        ]
+    )
+    assert stack.pages == 3
+    idx = jnp.asarray(rng.integers(0, 2, (9, 130)), jnp.int32)
+    uv = jnp.asarray(rng.random((9, 130, 2)), jnp.float32)
+    ref = np.asarray(xla_sample(stack, idx, uv))
+    out = np.asarray(pallas_sample(stack, idx, uv))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_u8_quantization_roundtrip():
+    # u8 input texels survive create() exactly (reference textures are u8).
+    q = (np.arange(16 * 16 * 4, dtype=np.uint32) % 256).astype(np.uint8)
+    tex = q.reshape(16, 16, 4)
+    stack = TextureStack.create([tex])
+    back = np.clip(
+        np.round(np.asarray(stack.data[0]) * 255.0), 0, 255
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(back, tex)
 
 
 def test_out_of_range_uv_and_invalid(rng):
@@ -42,9 +79,7 @@ def test_out_of_range_uv_and_invalid(rng):
         [[[1.5, -0.5], [2.0, 2.0], [0.3, 0.3], [-1.0, 0.99]]], jnp.float32
     )
     ref = np.asarray(xla_sample(stack, idx, uv))
-    out = np.asarray(
-        sample_bilinear_pallas(stack.data, stack.dims, idx, uv, interpret=True)
-    )
+    out = np.asarray(pallas_sample(stack, idx, uv))
     valid = np.asarray(idx) >= 0
     np.testing.assert_allclose(out[valid], ref[valid], rtol=1e-6, atol=1e-6)
 
@@ -55,7 +90,5 @@ def test_nonsquare_clamp_quirk(rng):
     idx = jnp.zeros((4, 8), jnp.int32)
     uv = jnp.asarray(rng.random((4, 8, 2)), jnp.float32)
     ref = np.asarray(xla_sample(stack, idx, uv))
-    out = np.asarray(
-        sample_bilinear_pallas(stack.data, stack.dims, idx, uv, interpret=True)
-    )
+    out = np.asarray(pallas_sample(stack, idx, uv))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
