@@ -50,19 +50,36 @@ def main() -> int:
         np.asarray(scene.vs_uniform["view"]),
         np.asarray(scene.vs_uniform["proj"]),
         np.asarray(scene.ps_uniform["view_pos"]),
-        textures,
+        # the pipeline's texel values (u8-backed stack) — native must sample
+        # the same data
+        list(np.asarray(scene.ps_uniform["textures"].data)),
         background=(30, 30, 30, 255),
     )
     diff = np.abs(frame.astype(np.int32) - nframe.astype(np.int32)).max(axis=-1)
-    bad = (diff > 2).mean()
-    both = (depth > 0) & (ndepth > 0)
+    # TPU f32 (FMA contraction, transcendental ulps) legitimately flips
+    # pixel ownership along triangle edges — integer spi rounding and the
+    # atan2 clip sort are knife-edge there. Grade interiors strictly and
+    # report edges separately: an interior mismatch means a real miscompile.
+    d = ndepth
+    local_max = d.copy()
+    local_min = d.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = np.roll(np.roll(d, dy, 0), dx, 1)
+            local_max = np.maximum(local_max, s)
+            local_min = np.minimum(local_min, s)
+    edge = (local_max - local_min) > 1e-3 * np.maximum(local_max, 1e-9)
+    interior = ~edge
+    bad_all = (diff > 2).mean()
+    bad_int = (diff[interior] > 2).mean()
+    both = (depth > 0) & (ndepth > 0) & interior
     depth_ok = np.allclose(depth[both], ndepth[both], rtol=1e-3)
     covered = int((frame[..., 0] != 30).sum())
     print(
-        f"tpu-vs-native: {bad:.3%} pixels differ>2, depth_ok={depth_ok}, "
-        f"covered={covered}, tris={ntris}"
+        f"tpu-vs-native: interior {bad_int:.3%} differ>2 (all {bad_all:.3%}),"
+        f" interior_depth_ok={depth_ok}, covered={covered}, tris={ntris}"
     )
-    ok = bad <= 0.01 and depth_ok and covered > 5000
+    ok = bad_int <= 0.002 and depth_ok and covered > 5000
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 

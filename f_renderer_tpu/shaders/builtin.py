@@ -23,10 +23,21 @@ SPECULAR_STRENGTH = 0.5
 SHININESS = 32
 
 
+def _mm(a, b):
+    """f32 matmul at full precision.
+
+    On TPU the default f32 matmul precision routes through bf16 MXU passes;
+    vertex transforms are tiny (4×4 against the vertex batch) but their
+    error lands directly in clip w / screen positions — measured rel ~3e-4
+    on depth, visibly shifting bilinear texel blends. Geometry is
+    contractual, so pin HIGHEST here (and in any custom vertex shader)."""
+    return jnp.matmul(a, b, precision="highest")
+
+
 def _mvp_transform(u, pos3):
-    mvp = u["proj"] @ u["view"] @ u["model"]
+    mvp = _mm(u["proj"], _mm(u["view"], u["model"]))
     p = jnp.concatenate([jnp.asarray(pos3, jnp.float32), jnp.ones((1,), jnp.float32)])
-    return mvp @ p, p
+    return _mm(mvp, p), p
 
 
 class FlatShader:
@@ -79,7 +90,7 @@ def make_phong_shaders(light_pos=LIGHT_POS, light_color=LIGHT_COLOR):
 
     def vertex(u, vin):
         clip, p = _mvp_transform(u, vin["pos"])
-        world = u["model"] @ p
+        world = _mm(u["model"], p)
         return clip, {
             "uv": jnp.asarray(vin["uv"], jnp.float32),
             "normal": jnp.asarray(vin["normal"], jnp.float32),
@@ -121,7 +132,7 @@ def make_gouraud_shaders(light_pos=LIGHT_POS, light_color=LIGHT_COLOR):
 
     def vertex(u, vin):
         clip, p = _mvp_transform(u, vin["pos"])
-        world = u["model"] @ p
+        world = _mm(u["model"], p)
         light = _phong_lighting(
             jnp.asarray(vin["normal"], jnp.float32),
             world[:3],

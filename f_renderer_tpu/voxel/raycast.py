@@ -41,7 +41,8 @@ def _unproject_dirs(width, height, inv_mvp):
     v = jnp.stack(
         [ndc_x, ndc_y, jnp.ones_like(ndc_x), jnp.ones_like(ndc_x)], axis=-1
     )
-    d = v @ inv_mvp.T  # (H, W, 4)
+    # full-precision unprojection (TPU default f32 matmul is bf16 passes)
+    d = jnp.matmul(v, inv_mvp.T, precision="highest")  # (H, W, 4)
     d3 = d[..., :3]
     return d3 / jnp.linalg.norm(d3, axis=-1, keepdims=True)
 
