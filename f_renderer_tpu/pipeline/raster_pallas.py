@@ -152,7 +152,8 @@ def compact_sort(tri_i32, tri_f32, tile: tuple[int, int], fw: int):
     ctx_ = ((minx + maxx) // 2) // tw
     ntx = _cdiv(fw, tw)
     key = jnp.where(empty, jnp.int32(2**30), cty * ntx + ctx_)
-    perm = jnp.argsort(key, stable=True)
+    iota = jnp.arange(key.shape[0], dtype=jnp.int32)
+    _, perm = jax.lax.sort_key_val(key, iota, is_stable=True)
     return tri_i32[:, perm], tri_f32[:, perm]
 
 
@@ -240,27 +241,33 @@ def bin_pairs(
     cspan = ncolsc * (cty1 - cty0 + 1)
     mid = nonempty & ~small & (cspan <= kc)
 
+    spill = nonempty & ~small & ~mid
+
     m = tri_i32.shape[1]
     tri_ids = jnp.arange(m, dtype=jnp.int32)
+    # The three levels are mutually exclusive per triangle, so they share
+    # the same max(k, kc) key slots (spill uses slot 0) — half the keys of
+    # a per-level layout, halving the sort and the pair-order gathers.
+    nk = max(k, kc)
     keys = []
-    for j in range(k):
-        tyj = ty0 + j // ncols
-        txj = tx0 + j % ncols
-        keys.append(jnp.where(small & (j < span), tyj * ntx + txj, big))
-    for j in range(kc):
-        ctyj = cty0 + j // ncolsc
-        ctxj = ctx0 + j % ncolsc
-        keys.append(
-            jnp.where(mid & (j < cspan), ntiles + ctyj * ntxc + ctxj, big)
+    for j in range(nk):
+        fine = ty0 + j // ncols, tx0 + j % ncols
+        coarse = cty0 + j // ncolsc, ctx0 + j % ncolsc
+        kj = jnp.where(
+            small & (j < span) & (j < k),
+            fine[0] * ntx + fine[1],
+            jnp.where(
+                mid & (j < cspan) & (j < kc),
+                ntiles + coarse[0] * ntxc + coarse[1],
+                jnp.where(spill & (j == 0), ntiles + ntilesc, big),
+            ),
         )
-    keys.append(
-        jnp.where(nonempty & ~small & ~mid, ntiles + ntilesc, big)
-    )
+        keys.append(kj)
     key = jnp.concatenate(keys)
-    ptri = jnp.tile(tri_ids, k + kc + 1)
-    perm = jnp.argsort(key, stable=True)
-    key_s = key[perm]
-    ptri_s = ptri[perm]
+    ptri = jnp.tile(tri_ids, nk)
+    # sort_key_val is ~4.6x faster than argsort+gather on TPU at these
+    # sizes (baselines/profile_sort.py: 1.1 ms vs 5.1 ms for 280k keys).
+    key_s, ptri_s = jax.lax.sort_key_val(key, ptri, is_stable=True)
     off = jnp.searchsorted(
         key_s, jnp.arange(ntiles + ntilesc + 2, dtype=jnp.int32)
     ).astype(jnp.int32)
