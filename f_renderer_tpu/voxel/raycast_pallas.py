@@ -34,10 +34,12 @@ def _march_kernel(
     tmax_ref,  # (BS, 128) f32
     alive_ref,  # (BS, 128) i32 — 1 where the march should run
     tab_ref,  # VMEM (nhi, 128) i32 — voxel table (bit 24 = hit, bgr low)
+    bits_ref,  # VMEM (nhib, 128) i32 — hit BITS only, 32 cells per word
     out_ref,  # (BS, 128) i32 — packed bgra
     *,
     bs: int,
     nhi: int,
+    nhib: int,
     r: int,
     length: float,
     per_t: float,
@@ -49,6 +51,7 @@ def _march_kernel(
     tmax = tmax_ref[...]
     cell_inv = jnp.float32(r / length)
     tab = tab_ref[...]  # (nhi, 128) in registers
+    bits = bits_ref[...]  # (nhib, 128) in registers
 
     def lookup(flat):
         hi = flat // LANES
@@ -60,7 +63,7 @@ def _march_kernel(
             acc = jnp.where(hi == h, g, acc)
         return acc
 
-    def query(t):
+    def cell_flat(t):
         px = sx + t * dx
         py = sy + t * dy
         pz = sz + t * dz
@@ -72,14 +75,32 @@ def _march_kernel(
         ix = jnp.clip((px * cell_inv).astype(jnp.int32), 0, r - 1)
         iy = jnp.clip((py * cell_inv).astype(jnp.int32), 0, r - 1)
         iz = jnp.clip((pz * cell_inv).astype(jnp.int32), 0, r - 1)
-        v = lookup((ix * r + iy) * r + iz)
+        return (ix * r + iy) * r + iz, inside
+
+    def query_hit(t):
+        # Hit test only: one 32-cells-per-word bit gather per step instead
+        # of the nhi-row packed-color select (4 gathers at level 3) — the
+        # march needs the color only once, after it resolves.
+        flat, inside = cell_flat(t)
+        word = flat >> 5
+        hi = word // LANES
+        lo = word % LANES
+        acc = jnp.zeros((bs, LANES), jnp.int32)
+        for h in range(nhib):
+            row = jnp.broadcast_to(bits[h][None, :], (bs, LANES))
+            g = jnp.take_along_axis(row, lo, axis=1)
+            acc = g if nhib == 1 else jnp.where(hi == h, g, acc)
+        return (((acc >> (flat & 31)) & 1) != 0) & inside
+
+    def query(t):
+        flat, inside = cell_flat(t)
+        v = lookup(flat)
         hit = (((v >> 24) & 1) != 0) & inside
         return hit, v
 
     t0 = jnp.zeros((bs, LANES), jnp.float32)
     # done carried as i32 — Mosaic cannot legalize i1 vectors in while carries
     done0 = 1 - alive_ref[...]
-    color0 = jnp.full((bs, LANES), jnp.int32(bg_packed))
 
     def cond(state):
         return jnp.any(state[1] == 0)
@@ -105,25 +126,28 @@ def _march_kernel(
         return t + dt + cellsz * 1.0e-3
 
     def body(state):
-        t, done, color = state
+        t, done = state
         # Several steps per loop-condition check: the cross-lane any()
         # reduction costs more than a march step; overshooting is harmless
-        # (done rays never update).
-        for _ in range(2 if dda else 8):
-            hit, v = query(t)
-            hit = hit & (done == 0)
-            color = jnp.where(
-                hit, (v & 0x00FFFFFF) | jnp.int32(-16777216), color
-            )
+        # (done rays never update). A done ray keeps its t — the march
+        # stops exactly at the hit (or t_max) sample point.
+        for _ in range(2 if dda else 16):
+            hit = query_hit(t) & (done == 0)
             done = jnp.where(hit | (t >= tmax), jnp.int32(1), done)
             if dda:
                 t = jnp.where(done != 0, t, jnp.minimum(dda_advance(t), tmax))
             else:
                 t = jnp.where(done != 0, t, jnp.minimum(t + per_t, tmax))
-        return t, done, color
+        return t, done
 
-    _, _, color = jax.lax.while_loop(cond, body, (t0, done0, color0))
-    out_ref[...] = color
+    t_fin, _ = jax.lax.while_loop(cond, body, (t0, done0))
+    # One full color query at each ray's final t: hit rays stopped on their
+    # hit cell; t_max/never-alive rays miss (or are masked by alive).
+    hit, v = query(t_fin)
+    hit = hit & (alive_ref[...] != 0)
+    out_ref[...] = jnp.where(
+        hit, (v & 0x00FFFFFF) | jnp.int32(-16777216), jnp.int32(bg_packed)
+    )
 
 
 def march_pallas(
@@ -155,6 +179,8 @@ def march_pallas(
     rows_pad = _cdiv(rows, block) * block
     ppad = rows_pad * LANES
     nhi = _cdiv(r * r * r, LANES)
+    nwords = _cdiv(r * r * r, 32)
+    nhib = _cdiv(nwords, LANES)
 
     def fp(a, fill=0.0):
         flat = a.reshape(-1).astype(jnp.float32)
@@ -168,6 +194,16 @@ def march_pallas(
     tab = jnp.pad(
         table_flat.astype(jnp.int32), (0, nhi * LANES - r * r * r)
     ).reshape(nhi, LANES)
+    # Hit bits packed 32 cells per i32 word (little-endian within the word).
+    hitb = ((table_flat.astype(jnp.int32) >> 24) & 1).astype(jnp.uint32)
+    hitb = jnp.pad(hitb, (0, nwords * 32 - r * r * r)).reshape(nwords, 32)
+    shifts = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    bits = jnp.sum(hitb * shifts[None, :], axis=1, dtype=jnp.uint32)
+    bits = (
+        jnp.pad(bits, (0, nhib * LANES - nwords))
+        .reshape(nhib, LANES)
+        .view(jnp.int32)
+    )
 
     bg = background
     bg_packed = int(bg[0]) | (int(bg[1]) << 8) | (int(bg[2]) << 16) | (
@@ -180,6 +216,7 @@ def march_pallas(
         _march_kernel,
         bs=block,
         nhi=nhi,
+        nhib=nhib,
         r=r,
         length=float(length),
         per_t=float(per_t),
@@ -191,14 +228,17 @@ def march_pallas(
         kernel,
         grid=(rows_pad // block,),
         in_specs=[pl.BlockSpec((block, LANES), blk)] * 8
-        + [pl.BlockSpec((nhi, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM)],
+        + [
+            pl.BlockSpec((nhi, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nhib, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((block, LANES), blk),
         out_shape=jax.ShapeDtypeStruct((rows_pad, LANES), jnp.int32),
         interpret=interpret,
     )(
         fp(start[..., 0]), fp(start[..., 1]), fp(start[..., 2]),
         fp(dirs[..., 0]), fp(dirs[..., 1]), fp(dirs[..., 2]),
-        fp(t_max, fill=-1.0), alive_i, tab,
+        fp(t_max, fill=-1.0), alive_i, tab, bits,
     )
     u8 = jax.lax.bitcast_convert_type(out, jnp.uint8)  # (rows, 128, 4)
     return u8.reshape(-1, 4)[:p].reshape(shape + (4,))
