@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--tex", action="append", default=[])
     ap.add_argument("--backend", default="")
     ap.add_argument("--ascii", action="store_true", help="terminal preview")
+    ap.add_argument(
+        "--video",
+        default="",
+        help="encode the orbit to this .mp4 (ffmpeg) or .gif (PIL fallback)",
+    )
     args = ap.parse_args()
     w, h = (int(v) for v in args.size.split("x"))
 
@@ -43,7 +48,12 @@ def main():
     import numpy as np
 
     from f_renderer_tpu import camera as cam
-    from f_renderer_tpu.display import AsciiDisplay, PngSequenceDisplay, render_loop
+    from f_renderer_tpu.display import (
+        AsciiDisplay,
+        PngSequenceDisplay,
+        VideoDisplay,
+        render_loop,
+    )
     from f_renderer_tpu.pipeline import render_frame
     from f_renderer_tpu.scene import make_cube, make_phong_scene, make_uv_sphere
 
@@ -102,16 +112,25 @@ def main():
         frame = frame_step(camera.look_at(), camera.eye, draws)
         return frame, camera
 
-    display = AsciiDisplay() if args.ascii else PngSequenceDisplay(args.out)
+    if args.video:
+        os.makedirs(os.path.dirname(args.video) or ".", exist_ok=True)
+        display = VideoDisplay(args.video, fps=24)
+    elif args.ascii:
+        display = AsciiDisplay()
+    else:
+        display = PngSequenceDisplay(args.out)
     t0 = time.time()
-    render_loop(step, camera, display, frames=args.frames)
+    with display:
+        render_loop(step, camera, display, frames=args.frames)
     dt = (time.time() - t0) / max(args.frames, 1)
     print(
         f"avg frame {dt * 1e3:.1f}ms ({1 / dt:.1f} fps, "
         f"{w * h / dt / 1e6:.0f} Mpix/s) backend={backend}",
         file=sys.stderr,
     )
-    if not args.ascii:
+    if args.video:
+        print(f"video written near {args.video}", file=sys.stderr)
+    elif not args.ascii:
         print(f"frames written to {args.out}/", file=sys.stderr)
 
 

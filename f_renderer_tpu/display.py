@@ -81,6 +81,73 @@ class RawStreamDisplay(Display):
         self.fileobj.flush()
 
 
+class VideoDisplay(Display):
+    """Encode presented frames into a playable video file.
+
+    When ``ffmpeg`` is on PATH, frames are piped as rawvideo into an H.264
+    encoder (the RawStreamDisplay→ffmpeg wiring, done for you). Otherwise
+    (this image ships no ffmpeg) frames are collected and written as an
+    animated GIF/APNG via PIL on ``close`` — still a playable artifact of
+    the render_loop event path (vulkan_base.rs:696-805's observable
+    capability).
+    """
+
+    def __init__(self, path: str, fps: int = 30):
+        import shutil
+
+        self.path = path
+        self.fps = fps
+        self.proc = None
+        self.frames = []
+        self.size = None
+        self._ffmpeg = shutil.which("ffmpeg") if path.endswith(".mp4") else None
+
+    def _start_ffmpeg(self, w: int, h: int):
+        import subprocess
+
+        self.proc = subprocess.Popen(
+            [
+                self._ffmpeg, "-y", "-f", "rawvideo", "-pix_fmt", "rgba",
+                "-s", f"{w}x{h}", "-r", str(self.fps), "-i", "-",
+                "-pix_fmt", "yuv420p", "-c:v", "libx264", self.path,
+            ],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+
+    def present(self, frame: np.ndarray) -> None:
+        frame = np.ascontiguousarray(np.asarray(frame)[..., :4], np.uint8)
+        if self._ffmpeg:
+            if self.proc is None:
+                self.size = frame.shape[:2]
+                self._start_ffmpeg(frame.shape[1], frame.shape[0])
+            self.proc.stdin.write(frame.tobytes())
+        else:
+            self.frames.append(frame)
+
+    def close(self) -> None:
+        if self.proc is not None:
+            self.proc.stdin.close()
+            self.proc.wait()
+            self.proc = None
+        elif self.frames:
+            from PIL import Image
+
+            path = self.path
+            if path.endswith(".mp4"):  # no encoder available — save a GIF
+                path = path[: path.rfind(".")] + ".gif"
+            ims = [Image.fromarray(f[..., :3], "RGB") for f in self.frames]
+            ims[0].save(
+                path,
+                save_all=True,
+                append_images=ims[1:],
+                duration=max(1000 // self.fps, 20),
+                loop=0,
+            )
+            self.frames = []
+
+
 class AsciiDisplay(Display):
     """Coarse in-terminal preview using 256-color half blocks."""
 
