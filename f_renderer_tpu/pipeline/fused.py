@@ -133,28 +133,24 @@ def fused_path_ok(pixel_shader, ps_uniform) -> bool:
     return stack.packed_nbytes <= PACKED_VMEM_BUDGET
 
 
-def render_fused_pallas(
+def prep_fused(
     tri: TriangleBuffer,
-    pixel_shader,
-    ps_uniform,
     config,
     *,
-    interpret: bool | None = None,
     origin=(0, 0),
     size: tuple | None = None,
 ):
-    """One-kernel render for ``fused_kind``-tagged pixel shaders.
+    """Geometry-side prep for the fused kernel: pack + bin + gather.
 
-    Returns (frame (H, W, 4) u8, depth (H, W) f32, winner (H, W) i32).
-    ``origin``/``size`` render a sub-rect of the config-sized frame (the
-    sharded row-slab case; origin may be traced). ``interpret`` defaults to
-    pallas interpret mode off-TPU, so backend="pallas" works everywhere.
+    Everything here depends only on the projected triangles (geometry +
+    camera), not on shading uniforms — callers rendering a static scene
+    with animated lighting can compute it once (scene.Scene.prepare) and
+    replay frames with ``render_fused_prepared``.
+
+    Returns ``(arrays, statics)``: ``arrays`` is a dict of device arrays
+    (jit-traceable pytree), ``statics`` a dict of python ints/bools that
+    parameterize the kernel build.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    kind = pixel_shader.fused_kind
-    light_pos = getattr(pixel_shader, "light_pos", (1.2, 1.0, 2.0))
-    light_color = getattr(pixel_shader, "light_color", (1.0, 1.0, 1.0))
     full = (config.height, config.width)
     height, width = size if size is not None else full
     th, tw = config.tile
@@ -181,14 +177,52 @@ def render_fused_pallas(
             tri, width, height, (th, tw), chunk, k, with_ctx=True,
             origin=origin, full_size=full,
         )
-        cb_spec = pl.BlockSpec(
-            cb.shape, lambda ty, tx: (0,), memory_space=pltpu.SMEM
-        )
     else:
         chunk = 256
         tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep(
             tri, width, height, (th, tw), chunk, origin, full, with_ctx=True
         )
+    arrays = dict(cb=cb, origin=origin_arr, tri_i32=tri_i32, tri_f32=tri_f32)
+    statics = dict(
+        th=th, tw=tw, chunk=chunk, binned=binned, n_ctx=n_ctx,
+        h_pad=h_pad, w_pad=w_pad, height=height, width=width,
+    )
+    return arrays, statics
+
+
+def render_fused_prepared(
+    arrays,
+    statics,
+    pixel_shader,
+    ps_uniform,
+    config,
+    *,
+    interpret: bool | None = None,
+):
+    """Run the fused kernel from :func:`prep_fused` products.
+
+    Shading inputs (textures, view_pos, the shader's light constants) are
+    read fresh from ``pixel_shader``/``ps_uniform`` — a static scene with
+    animated lighting re-runs only this.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kind = pixel_shader.fused_kind
+    light_pos = getattr(pixel_shader, "light_pos", (1.2, 1.0, 2.0))
+    light_color = getattr(pixel_shader, "light_color", (1.0, 1.0, 1.0))
+    cb = arrays["cb"]
+    origin_arr = arrays["origin"]
+    tri_i32 = arrays["tri_i32"]
+    tri_f32 = arrays["tri_f32"]
+    th, tw, chunk = statics["th"], statics["tw"], statics["chunk"]
+    binned, n_ctx = statics["binned"], statics["n_ctx"]
+    h_pad, w_pad = statics["h_pad"], statics["w_pad"]
+    height, width = statics["height"], statics["width"]
+    if binned:
+        cb_spec = pl.BlockSpec(
+            cb.shape, lambda ty, tx: (0,), memory_space=pltpu.SMEM
+        )
+    else:
         cb_spec = pl.BlockSpec(
             (5, cb.shape[1]), lambda ty, tx: (0, 0), memory_space=pltpu.SMEM
         )
@@ -277,3 +311,26 @@ def render_fused_pallas(
 
     frame = jax.lax.bitcast_convert_type(rgba[:height, :width], jnp.uint8)
     return frame, depth[:height, :width], winner[:height, :width]
+
+
+def render_fused_pallas(
+    tri: TriangleBuffer,
+    pixel_shader,
+    ps_uniform,
+    config,
+    *,
+    interpret: bool | None = None,
+    origin=(0, 0),
+    size: tuple | None = None,
+):
+    """One-kernel render for ``fused_kind``-tagged pixel shaders.
+
+    Returns (frame (H, W, 4) u8, depth (H, W) f32, winner (H, W) i32).
+    ``origin``/``size`` render a sub-rect of the config-sized frame (the
+    sharded row-slab case; origin may be traced). ``interpret`` defaults to
+    pallas interpret mode off-TPU, so backend="pallas" works everywhere.
+    """
+    arrays, statics = prep_fused(tri, config, origin=origin, size=size)
+    return render_fused_prepared(
+        arrays, statics, pixel_shader, ps_uniform, config, interpret=interpret
+    )

@@ -11,6 +11,7 @@ OBJ/TGA assets are not distributed with its repository.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Sequence
 
 import jax
@@ -44,8 +45,87 @@ class Scene:
         )
         return step(self.vs_uniform, self.ps_uniform, tuple(self.draws))
 
+    def prepare(self):
+        """Precompute the geometry+binning products for the current
+        geometry and camera (pipeline.fused.prep_fused).
 
-import functools
+        For a static scene under animated *shading* (light position via the
+        shader, ``view_pos``, texture swaps of equal shape) the per-frame
+        cost drops to the fused kernel alone — pass the result to
+        :meth:`render_prepared`. Camera or vertex motion changes the
+        screen-space triangles the bins index, so it requires a fresh
+        ``prepare()`` (binning is screen-space by design; it is ~0.3 ms at
+        1080p — see BASELINE.md).
+
+        Requires the pallas backend and a fused-eligible pixel shader.
+        """
+        from f_renderer_tpu.pipeline.fused import fused_path_ok
+
+        if not fused_path_ok(self.pixel_shader, self.ps_uniform):
+            raise ValueError(
+                "texture stack exceeds the fused kernel's VMEM budget"
+            )
+        prep = _scene_prepare(
+            self.vertex_shader, self.pixel_shader, self.config, len(self.draws)
+        )
+        return prep(self.vs_uniform, tuple(self.draws))
+
+    def render_prepared(self, prepared):
+        """Render using :meth:`prepare` products; only shading uniforms
+        (``ps_uniform``) are read fresh. Returns (frame, depth, winner)."""
+        arrays, statics = prepared
+        run = _scene_render_prepared(
+            self.pixel_shader, self.config, _freeze(statics)
+        )
+        return run(arrays, self.ps_uniform)
+
+
+def _freeze(statics: dict) -> tuple:
+    return tuple(sorted(statics.items()))
+
+
+@functools.lru_cache(maxsize=64)
+def _scene_prepare(vertex_shader, pixel_shader, config, num_draws):
+    from f_renderer_tpu.pipeline.fused import prep_fused
+    from f_renderer_tpu.pipeline.render import build_triangles
+
+    if config.backend != "pallas" or not hasattr(pixel_shader, "fused_kind"):
+        raise ValueError(
+            "Scene.prepare requires backend='pallas' and a fused-eligible "
+            "pixel shader (builtin flat/gouraud/textured/phong)"
+        )
+
+    statics_box = []
+
+    @jax.jit
+    def prep(vs_uniform, draws):
+        tri, _ = build_triangles(
+            list(draws), vertex_shader, vs_uniform, config
+        )
+        arrays, statics = prep_fused(tri, config)
+        statics_box.append(statics)
+        return arrays
+
+    def run(vs_uniform, draws):
+        arrays = prep(vs_uniform, draws)
+        return arrays, statics_box[-1]
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _scene_render_prepared(pixel_shader, config, statics_frozen):
+    from f_renderer_tpu.pipeline.fused import render_fused_prepared
+
+    statics = dict(statics_frozen)
+
+    @jax.jit
+    def run(arrays, ps_uniform):
+        return render_fused_prepared(
+            arrays, statics, pixel_shader, ps_uniform, config
+        )
+
+    return run
 
 
 @functools.lru_cache(maxsize=64)

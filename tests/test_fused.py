@@ -165,3 +165,44 @@ def test_flat_shader():
         np.asarray(frame_f).astype(np.int32) - np.asarray(frame_j).astype(np.int32)
     ).max(axis=-1)
     assert (diff > 2).mean() <= 0.01
+
+
+def test_prepared_scene_matches_direct_render():
+    """Scene.prepare + render_prepared ≡ Scene.render for static geometry;
+    shading-uniform changes (view_pos) replay without re-prepping."""
+    import dataclasses
+
+    from f_renderer_tpu.camera import Camera
+    from f_renderer_tpu.scene import (
+        make_checker_texture,
+        make_cube,
+        make_phong_scene,
+    )
+
+    cam = Camera.create([0.0, 0.5, 4.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+    scene = make_phong_scene(
+        128, 96,
+        meshes=[make_cube(0.9)],
+        textures=[make_checker_texture(96, 8)],
+        camera=cam,
+        backend="pallas",
+    )
+    frame_direct = np.asarray(scene.render()[0])
+    prepared = scene.prepare()
+    frame_prep = np.asarray(scene.render_prepared(prepared)[0])
+    np.testing.assert_array_equal(frame_prep, frame_direct)
+
+    # Swap the texture (shading-only change) and replay the same prep.
+    from f_renderer_tpu.shaders import TextureStack
+
+    scene2 = dataclasses.replace(
+        scene,
+        ps_uniform=dict(
+            scene.ps_uniform,
+            textures=TextureStack.create([make_checker_texture(96, 24)]),
+        ),
+    )
+    frame_swap = np.asarray(scene2.render_prepared(prepared)[0])
+    frame_swap_direct = np.asarray(scene2.render()[0])
+    np.testing.assert_array_equal(frame_swap, frame_swap_direct)
+    assert (frame_swap != frame_direct).any()  # the texture actually changed
