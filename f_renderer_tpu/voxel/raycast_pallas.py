@@ -35,11 +35,13 @@ def _march_kernel(
     alive_ref,  # (BS, 128) i32 — 1 where the march should run
     tab_ref,  # VMEM (nhi, 128) i32 — voxel table (bit 24 = hit, bgr low)
     bits_ref,  # VMEM (nhib, 128) i32 — hit BITS only, 32 cells per word
+    ttab_ref,  # VMEM (nhit, 128) f32 — the exact t_k = fl-accum of per_t
     out_ref,  # (BS, 128) i32 — packed bgra
     *,
     bs: int,
     nhi: int,
     nhib: int,
+    nhit: int,
     r: int,
     length: float,
     per_t: float,
@@ -102,13 +104,10 @@ def _march_kernel(
     # done carried as i32 — Mosaic cannot legalize i1 vectors in while carries
     done0 = 1 - alive_ref[...]
 
-    def cond(state):
-        return jnp.any(state[1] == 0)
-
     cellsz = jnp.float32(length / r)
     inf = jnp.float32(3.0e38)
 
-    def dda_advance(t):
+    def boundary_dt(t):
         # exact distance to the next cell boundary (3D-DDA); rays with a
         # zero direction component never cross that axis' planes.
         px = sx + t * dx
@@ -122,25 +121,96 @@ def _march_kernel(
             tn = jnp.where((d == 0.0) | jnp.isnan(tn), inf, tn)
             return jnp.maximum(tn, 0.0)
 
-        dt = jnp.minimum(jnp.minimum(axis(px, dx), axis(py, dy)), axis(pz, dz))
-        return t + dt + cellsz * 1.0e-3
+        return jnp.minimum(jnp.minimum(axis(px, dx), axis(py, dy)), axis(pz, dz))
 
-    def body(state):
-        t, done = state
-        # Several steps per loop-condition check: the cross-lane any()
-        # reduction costs more than a march step; overshooting is harmless
-        # (done rays never update). A done ray keeps its t — the march
-        # stops exactly at the hit (or t_max) sample point.
-        for _ in range(2 if dda else 16):
-            hit = query_hit(t) & (done == 0)
-            done = jnp.where(hit | (t >= tmax), jnp.int32(1), done)
-            if dda:
-                t = jnp.where(done != 0, t, jnp.minimum(dda_advance(t), tmax))
+    if dda:
+
+        def cond(state):
+            return jnp.any(state[1] == 0)
+
+        def body(state):
+            t, done = state
+            for _ in range(2):
+                hit = query_hit(t) & (done == 0)
+                done = jnp.where(hit | (t >= tmax), jnp.int32(1), done)
+                t = jnp.where(
+                    done != 0,
+                    t,
+                    jnp.minimum(t + boundary_dt(t) + cellsz * 1.0e-3, tmax),
+                )
+            return t, done
+
+        t_fin, _ = jax.lax.while_loop(cond, body, (t0, done0))
+    else:
+        # Reference-exact fixed-step march with empty-cell skipping. The
+        # sample times t_k are a global fl()-accumulation of per_t (the
+        # per-ray t_max only clamps the final sample), precomputed into
+        # ttab. While the current cell is EMPTY, every sample up to the
+        # cell boundary provably misses, so the march may jump the step
+        # index k and refetch the exact t_k — bit-identical results with
+        # ~100× fewer queries through empty space (per_t = cellsz/100,
+        # voxel.rs:340). A 2-step margin before the boundary (and before
+        # t_max) absorbs f32 rounding in the boundary distance.
+        ttab = ttab_ref[...]
+
+        def gather_t(k):
+            hi = k // LANES
+            lo = k % LANES
+            acc = jnp.zeros((bs, LANES), jnp.float32)
+            for h in range(nhit):
+                row = jnp.broadcast_to(ttab[h][None, :], (bs, LANES))
+                g = jnp.take_along_axis(row, lo, axis=1)
+                acc = jnp.where(hi == h, g, acc)
+            return acc
+
+        kmax = jnp.int32(nhit * LANES - 1)
+        inv_per_t = jnp.float32(1.0 / per_t)
+
+        def cond(state):
+            return jnp.any(state[2] == 0)
+
+        def body(state):
+            t, k, done = state
+            # Jump phase: skip ahead inside an empty cell (exact, above).
+            flat, inside = cell_flat(t)
+            word = flat >> 5
+            lo = word % LANES
+            if nhib == 1:
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(bits[0][None, :], (bs, LANES)), lo, axis=1
+                )
             else:
+                hi = word // LANES
+                g = jnp.zeros((bs, LANES), jnp.int32)
+                for h in range(nhib):
+                    row = jnp.broadcast_to(bits[h][None, :], (bs, LANES))
+                    gg = jnp.take_along_axis(row, lo, axis=1)
+                    g = jnp.where(hi == h, gg, g)
+            occupied = (((g >> (flat & 31)) & 1) != 0) & inside
+            # The skip is exact outside the cube too: grid planes tile all
+            # of space, outside cells are uniformly miss, and the cube
+            # boundary coincides with a grid plane — so rays the reference's
+            # scrambled-dedupe quirk (voxel.rs:323-331) starts outside
+            # (they otherwise plain-step the full ~2800-sample budget and
+            # dominate their block) leap empty space the same way.
+            n = jnp.floor(
+                jnp.minimum(boundary_dt(t), tmax - t) * inv_per_t
+            ).astype(jnp.int32) - 2
+            n = jnp.where((done == 0) & ~occupied, jnp.maximum(n, 0), 0)
+            k2 = jnp.minimum(k + n, kmax)
+            t = jnp.where(n > 0, jnp.minimum(gather_t(k2), tmax), t)
+            k = k2
+            # Normal steps (several per cross-lane exit check).
+            for _ in range(8):
+                hit = query_hit(t) & (done == 0)
+                done = jnp.where(hit | (t >= tmax), jnp.int32(1), done)
                 t = jnp.where(done != 0, t, jnp.minimum(t + per_t, tmax))
-        return t, done
+                k = jnp.where(done != 0, k, jnp.minimum(k + 1, kmax))
+            return t, k, done
 
-    t_fin, _ = jax.lax.while_loop(cond, body, (t0, done0))
+        t_fin, _, _ = jax.lax.while_loop(
+            cond, body, (t0, jnp.zeros((bs, LANES), jnp.int32), done0)
+        )
     # One full color query at each ray's final t: hit rays stopped on their
     # hit cell; t_max/never-alive rays miss (or are masked by alive).
     hit, v = query(t_fin)
@@ -205,6 +275,25 @@ def march_pallas(
         .view(jnp.int32)
     )
 
+    # Exact sample-time table t_k (fl-accumulated per_t, the k-th value the
+    # kernel's `t += per_t` chain reaches) up to the cube diagonal — long
+    # enough that no ray's t_max lies beyond it.
+    import numpy as np
+
+    pt = np.float32(per_t)
+    t_acc = np.float32(0.0)
+    tt = [t_acc]
+    t_end = np.float32(np.sqrt(3.0) * length) + pt
+    while tt[-1] < t_end:
+        t_acc = np.float32(t_acc + pt)
+        tt.append(t_acc)
+    tt = np.asarray(tt, np.float32)
+    nhit = _cdiv(tt.shape[0], LANES)
+    ttab = jnp.asarray(
+        np.pad(tt, (0, nhit * LANES - tt.shape[0]), constant_values=tt[-1])
+        .reshape(nhit, LANES)
+    )
+
     bg = background
     bg_packed = int(bg[0]) | (int(bg[1]) << 8) | (int(bg[2]) << 16) | (
         int(bg[3]) << 24
@@ -217,6 +306,7 @@ def march_pallas(
         bs=block,
         nhi=nhi,
         nhib=nhib,
+        nhit=nhit,
         r=r,
         length=float(length),
         per_t=float(per_t),
@@ -231,6 +321,7 @@ def march_pallas(
         + [
             pl.BlockSpec((nhi, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nhib, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nhit, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, LANES), blk),
         out_shape=jax.ShapeDtypeStruct((rows_pad, LANES), jnp.int32),
@@ -238,7 +329,7 @@ def march_pallas(
     )(
         fp(start[..., 0]), fp(start[..., 1]), fp(start[..., 2]),
         fp(dirs[..., 0]), fp(dirs[..., 1]), fp(dirs[..., 2]),
-        fp(t_max, fill=-1.0), alive_i, tab, bits,
+        fp(t_max, fill=-1.0), alive_i, tab, bits, ttab,
     )
     u8 = jax.lax.bitcast_convert_type(out, jnp.uint8)  # (rows, 128, 4)
     return u8.reshape(-1, 4)[:p].reshape(shape + (4,))
