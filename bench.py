@@ -239,11 +239,16 @@ def bench_voxel(frames: int, width=960, height=540, level=3):
         es, ms = zip(*(args(i) for i in range(n)))
         return jnp.asarray(np.stack(es)), jnp.asarray(np.stack(ms))
 
+    # Device inputs are staged OUTSIDE the timed lambda: a host->device
+    # transfer inside it adds 100s of ms of tunnel latency per call that
+    # the two-point fit does not reliably cancel (measured ~90 ms/frame of
+    # phantom time at voxel540).
+    packs = {frames: pack_args(frames), 2 * frames: pack_args(2 * frames)}
     t0 = time.time()
-    chk = int(run_n(frames, *pack_args(frames)))
+    chk = int(run_n(frames, *packs[frames]))
     _log(f"[voxel540] compile+first({frames} frames): {time.time() - t0:.1f}s "
          f"checksum={chk}")
-    dt = _scan_timer(lambda n: int(run_n(n, *pack_args(n))), frames)
+    dt = _scan_timer(lambda n: int(run_n(n, *packs[n])), frames)
     mray = width * height / dt / 1e6
     _log(
         f"[voxel540] {width}x{height} level={level} frame={dt * 1e3:.2f}ms "

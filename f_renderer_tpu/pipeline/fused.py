@@ -268,6 +268,15 @@ def render_fused_prepared(
 
     grid = (h_pad // th, w_pad // tw)
     nf_f = tri_f32.shape[0]
+    # Fence the operands against XLA's cross-custom-call "optimization"
+    # (same pathology as the voxel march, raycast_pallas.py: producers get
+    # rebuilt through scoped-VMEM async slices and the composed program
+    # slows by an order of magnitude).
+    cb, origin_arr, tri_i32, tri_f32, uni, dims, texpk = (
+        jax.lax.optimization_barrier(
+            (cb, origin_arr, tri_i32, tri_f32, uni, dims, texpk)
+        )
+    )
     tile_spec = pl.BlockSpec((th, tw), lambda ty, tx: (ty, tx), memory_space=pltpu.VMEM)
     rgba, depth, winner = pl.pallas_call(
         kernel,

@@ -636,6 +636,12 @@ def _call(
     cb, origin_arr, tri_i32, tri_f32, *, th, tw, chunk, id_base, n_ctx,
     h_pad, w_pad, interpret
 ):
+    # Fence operands against XLA's cross-custom-call rewrites (see the
+    # matching barriers in fused.py / voxel/raycast_pallas.py — measured
+    # ~11x composed-program slowdowns without it).
+    cb, origin_arr, tri_i32, tri_f32 = jax.lax.optimization_barrier(
+        (cb, origin_arr, tri_i32, tri_f32)
+    )
     grid = (h_pad // th, w_pad // tw)
     nchunks = cb.shape[1]
     nf_f = tri_f32.shape[0]

@@ -30,10 +30,13 @@ class RenderConfig:
     height: int
     background: tuple = (0, 0, 0, 255)
     clip_cap: int = 256
-    # (16, 128) is the measured sweet spot for the fused pallas raster+interp
-    # kernel at 1080p (baselines/profile_raster.py); the jnp path reshapes
-    # to tiles only for memory bounding, where it matters little.
-    tile: tuple = (16, 128)
+    # (32, 128) is the measured sweet spot for the binned fused kernel at
+    # 1080p (baselines/profile_tiles.py, r2): vs (16, 128) it halves the
+    # per-program fixed costs (first-chunk DMA wait, sampler range
+    # reductions, grid bookkeeping) for less added per-triangle vector
+    # work. The jnp path reshapes to tiles only for memory bounding,
+    # where it matters little.
+    tile: tuple = (32, 128)
     backend: str = "jnp"  # "jnp" | "pallas"
     replicate_ps_boundary_quirk: bool = True
     # Batched pixel-shader calls (see shade.shade_from_planes). Set False

@@ -31,36 +31,45 @@ import numpy as np
 MAX_POINTS = 8  # ≤ 2 per axis + 2 from the axis-parallel special case
 
 
-def _unproject_dirs(width, height, inv_mvp):
-    """Ray directions for every pixel (voxel.rs:141-150). Returns (H, W, 3)."""
+def _unproject_dir_planes(width, height, inv_mvp):
+    """Ray directions for every pixel (voxel.rs:141-150) → 3 (H, W) planes.
+
+    Written as planar FMA chains with scalar matrix coefficients — the
+    (H·W, 4) @ (4, 4) matmul form costs >100 ms/frame at 960×540 on v5e
+    (K = N = 4 wastes 124/128 of the MXU both ways); the planar form is
+    sub-ms on the VPU and exact f32 (no bf16 passes).
+    """
     x = jnp.arange(width, dtype=jnp.float32)[None, :]
     y = jnp.arange(height, dtype=jnp.float32)[:, None]
     ndc_x = x * 2.0 / width - 1.0
     ndc_y = 1.0 - (y * 2.0 / height)
     ndc_x, ndc_y = jnp.broadcast_arrays(ndc_x, ndc_y)
-    v = jnp.stack(
-        [ndc_x, ndc_y, jnp.ones_like(ndc_x), jnp.ones_like(ndc_x)], axis=-1
-    )
-    # full-precision unprojection (TPU default f32 matmul is bf16 passes)
-    d = jnp.matmul(v, inv_mvp.T, precision="highest")  # (H, W, 4)
-    d3 = d[..., :3]
-    return d3 / jnp.linalg.norm(d3, axis=-1, keepdims=True)
+    m = inv_mvp
+    d3 = [
+        ((m[i, 0] * ndc_x + m[i, 1] * ndc_y) + m[i, 2]) + m[i, 3]
+        for i in range(3)
+    ]
+    norm = jnp.sqrt(d3[0] * d3[0] + d3[1] * d3[1] + d3[2] * d3[2])
+    return [c / norm for c in d3]
 
 
-def cube_intersect(pos, dirs, length):
-    """VoxelCube::intersect (voxel.rs:239-334), vectorized over rays.
+def _unproject_dirs(width, height, inv_mvp):
+    """Stacked (H, W, 3) wrapper over :func:`_unproject_dir_planes`."""
+    return jnp.stack(_unproject_dir_planes(width, height, inv_mvp), axis=-1)
 
-    pos: (3,) ray origin (shared); dirs: (..., 3). Returns
-    (start (..., 3), end (..., 3), valid (...)).
+
+def _cube_intersect_planes(pos, dp, length):
+    """VoxelCube::intersect (voxel.rs:239-334) over per-axis ray planes.
+
+    pos: (3,) ray origin (shared); dp: list of 3 (...) direction planes.
+    Returns (start [3 planes], end [3 planes], valid (...)).
 
     TPU layout note: every intermediate is a python list of (...)-shaped
     per-slot/per-axis planes, never a (..., 8, 3) array — trailing small
     dims land on the (sublane, lane) tile and waste 125/128 lanes on every
-    op (measured: the stacked form cost ~80 ms/frame at 960×540 on v5e,
-    the planar form ~6 ms). The arithmetic is element-for-element the same.
+    op. The arithmetic is element-for-element the reference's.
     """
-    shape = dirs.shape[:-1]
-    dp = [dirs[..., a] for a in range(3)]  # direction planes
+    shape = dp[0].shape
     zero = jnp.zeros(shape, jnp.float32)
     # pts[k][a]: slot k, axis a — all (shape)-sized planes
     pts = [[zero, zero, zero] for _ in range(MAX_POINTS)]
@@ -189,11 +198,22 @@ def cube_intersect(pos, dirs, length):
     p0 = [jnp.where(do_dedupe, ded[0][a], pts_s[0][a]) for a in range(3)]
     p1 = [jnp.where(do_dedupe, ded[1][a], pts_s[1][a]) for a in range(3)]
 
-    start = jnp.stack(p0, axis=-1)
-    end = jnp.stack(
-        [jnp.where(single, p0[a], p1[a]) for a in range(3)], axis=-1
-    )
+    start = p0
+    end = [jnp.where(single, p0[a], p1[a]) for a in range(3)]
     return start, end, valid
+
+
+def cube_intersect(pos, dirs, length):
+    """VoxelCube::intersect (voxel.rs:239-334), vectorized over rays.
+
+    pos: (3,) ray origin (shared); dirs: (..., 3). Returns
+    (start (..., 3), end (..., 3), valid (...)). Stacked-layout wrapper
+    over :func:`_cube_intersect_planes` — hot paths use the planes form
+    directly so no (..., 3) array crosses a kernel boundary.
+    """
+    dp = [dirs[..., a] for a in range(3)]
+    start, end, valid = _cube_intersect_planes(pos, dp, length)
+    return jnp.stack(start, axis=-1), jnp.stack(end, axis=-1), valid
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,16 +244,16 @@ def render_voxel_frame(
     r = grid_hit.shape[0]
 
     eye = jnp.asarray(eye, jnp.float32)
-    dirs = _unproject_dirs(w, h, jnp.asarray(inv_mvp, jnp.float32))
-    start, end, valid = cube_intersect(eye, dirs, length)
+    # Everything stays per-axis (H, W) planes up to the march — a stacked
+    # (H, W, 3) array crossing an op/kernel boundary forces 3-lane layouts.
+    dp = _unproject_dir_planes(w, h, jnp.asarray(inv_mvp, jnp.float32))
+    start_p, end_p, valid = _cube_intersect_planes(eye, dp, length)
 
     # ray_cast setup (voxel.rs:336-343). Rust f32::min ignores NaN (IEEE
     # minNum) — 0/0 components from axis-parallel rays must not poison the
     # min, hence fmin, not jnp.min.
-    t_max_vec = (end - start) / dirs
-    t_max = jnp.fmin(
-        jnp.fmin(t_max_vec[..., 0], t_max_vec[..., 1]), t_max_vec[..., 2]
-    )
+    tmv = [(end_p[a] - start_p[a]) / dp[a] for a in range(3)]
+    t_max = jnp.fmin(jnp.fmin(tmv[0], tmv[1]), tmv[2])
     per_t = length / jnp.float32(2.0**level) * 0.01
 
     cell = length / r
@@ -243,14 +263,29 @@ def render_voxel_frame(
     # baselines/profile_texture.py). One i32 table per step: bit 24 = hit,
     # packed bgr in the low 24 bits; alpha is constant 255 for leaves
     # (wgpu_base.rs:32-35) and background alike.
-    color_i32 = (
-        grid_color[..., 0].astype(jnp.int32)
-        | (grid_color[..., 1].astype(jnp.int32) << 8)
-        | (grid_color[..., 2].astype(jnp.int32) << 16)
-    )
-    table_flat = jnp.where(
-        grid_hit, color_i32 | (1 << 24), color_i32
-    ).reshape(-1)
+    if not isinstance(grid_color, jax.core.Tracer) and not isinstance(
+        grid_hit, jax.core.Tracer
+    ):
+        # Concrete grids (the usual case — voxel data is loaded, not
+        # traced): build the table on the host so it reaches the march
+        # kernel as a true XLA constant. As a traced-graph product it
+        # becomes a non-constant custom-call operand, which XLA rebuilds
+        # through scoped-VMEM async slices at ~70 ms/frame (measured,
+        # baselines/profile_voxel*.py).
+        gcn = np.asarray(grid_color).astype(np.int64)
+        ghn = np.asarray(grid_hit)
+        ci = gcn[..., 0] | (gcn[..., 1] << 8) | (gcn[..., 2] << 16)
+        tf = np.where(ghn, ci | (1 << 24), ci).astype(np.uint32)
+        table_flat = jnp.asarray(tf.view(np.int32).reshape(-1))
+    else:
+        color_i32 = (
+            grid_color[..., 0].astype(jnp.int32)
+            | (grid_color[..., 1].astype(jnp.int32) << 8)
+            | (grid_color[..., 2].astype(jnp.int32) << 16)
+        )
+        table_flat = jnp.where(
+            grid_hit, color_i32 | (1 << 24), color_i32
+        ).reshape(-1)
 
     def query(p):
         """Dense-grid point query ≡ find_leaf (see octree.densify)."""
@@ -284,8 +319,8 @@ def render_voxel_frame(
         )
         alive = valid & (t_max >= 0.0)
         return march_pallas(
-            start,
-            dirs,
+            start_p,
+            dp,
             t_max,
             alive,
             table_flat,
@@ -297,6 +332,8 @@ def render_voxel_frame(
             dda=config.traversal == "dda",
         )
 
+    start = jnp.stack(start_p, axis=-1)
+    dirs = jnp.stack(dp, axis=-1)
     bg = jnp.asarray(config.background, jnp.uint8)
     # `while t <= t_max` (voxel.rs:344): a negative/NaN t_max means the loop
     # body never runs — no query even at t = 0.

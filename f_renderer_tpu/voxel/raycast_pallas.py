@@ -221,8 +221,8 @@ def _march_kernel(
 
 
 def march_pallas(
-    start,  # (..., 3) f32
-    dirs,  # (..., 3) f32
+    start,  # [3 planes (...)] f32 (or (..., 3) stacked)
+    dirs,  # [3 planes (...)] f32 (or (..., 3) stacked)
     t_max,  # (...,) f32
     alive,  # (...,) bool — rays to march (valid & t_max >= 0)
     table_flat,  # (r³,) i32 — packed voxel table (raycast.py)
@@ -242,6 +242,24 @@ def march_pallas(
     intentional behavioral deviation, off by default (SURVEY.md §7.3.10).
     """
     shape = t_max.shape
+    if isinstance(start, (list, tuple)):
+        start_p, dirs_p = list(start), list(dirs)
+    else:  # stacked (..., 3) compatibility
+        start_p = [start[..., a] for a in range(3)]
+        dirs_p = [dirs[..., a] for a in range(3)]
+    # Fence the ray planes: without this, XLA "optimizes" the producers
+    # across the custom-call boundary (scoped-VMEM buffers rebuilt via
+    # async slice + ConcatBitcast) and the composed program runs ~11x
+    # slower than the kernel itself (80 ms vs 7 ms at 960x540, measured
+    # via the barrier A/B in baselines/profile_voxel*.py). The fence must
+    # sit on the (H, W) planes, before the pad/reshape into kernel operand
+    # form.
+    fenced = jax.lax.optimization_barrier(
+        tuple(start_p) + tuple(dirs_p) + (t_max, alive)
+    )
+    start_p = list(fenced[0:3])
+    dirs_p = list(fenced[3:6])
+    t_max, alive = fenced[6], fenced[7]
     p = 1
     for s in shape:
         p *= s
@@ -313,6 +331,11 @@ def march_pallas(
         bg_packed=bg_packed,
         dda=dda,
     )
+    ops = (
+        fp(start_p[0]), fp(start_p[1]), fp(start_p[2]),
+        fp(dirs_p[0]), fp(dirs_p[1]), fp(dirs_p[2]),
+        fp(t_max, fill=-1.0), alive_i, tab, bits, ttab,
+    )
     blk = lambda i: (i, 0)
     out = pl.pallas_call(
         kernel,
@@ -326,10 +349,6 @@ def march_pallas(
         out_specs=pl.BlockSpec((block, LANES), blk),
         out_shape=jax.ShapeDtypeStruct((rows_pad, LANES), jnp.int32),
         interpret=interpret,
-    )(
-        fp(start[..., 0]), fp(start[..., 1]), fp(start[..., 2]),
-        fp(dirs[..., 0]), fp(dirs[..., 1]), fp(dirs[..., 2]),
-        fp(t_max, fill=-1.0), alive_i, tab, bits, ttab,
-    )
+    )(*ops)
     u8 = jax.lax.bitcast_convert_type(out, jnp.uint8)  # (rows, 128, 4)
     return u8.reshape(-1, 4)[:p].reshape(shape + (4,))
