@@ -34,10 +34,25 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision="highest")
 
 
+def _mat_vec4(m, p):
+    """Row-major (4,4)·(4,) as sequential mul/add chains — the C++
+    reference's ``mat4_mul_v4`` evaluation order (fr_native.cpp:60-67),
+    exact f32. Under vmap this lowers to elementwise VPU chains; a batched
+    (N,4)@(4,4) matmul wastes 124/128 of the MXU on both K and N and at
+    full precision cost ~66 ms of the 1M-vertex stress4k geometry stage."""
+    return jnp.stack(
+        [
+            ((m[i, 0] * p[0] + m[i, 1] * p[1]) + m[i, 2] * p[2])
+            + m[i, 3] * p[3]
+            for i in range(4)
+        ]
+    )
+
+
 def _mvp_transform(u, pos3):
     mvp = _mm(u["proj"], _mm(u["view"], u["model"]))
     p = jnp.concatenate([jnp.asarray(pos3, jnp.float32), jnp.ones((1,), jnp.float32)])
-    return _mm(mvp, p), p
+    return _mat_vec4(mvp, p), p
 
 
 class FlatShader:
@@ -90,7 +105,7 @@ def make_phong_shaders(light_pos=LIGHT_POS, light_color=LIGHT_COLOR):
 
     def vertex(u, vin):
         clip, p = _mvp_transform(u, vin["pos"])
-        world = _mm(u["model"], p)
+        world = _mat_vec4(u["model"], p)
         return clip, {
             "uv": jnp.asarray(vin["uv"], jnp.float32),
             "normal": jnp.asarray(vin["normal"], jnp.float32),
@@ -132,7 +147,7 @@ def make_gouraud_shaders(light_pos=LIGHT_POS, light_color=LIGHT_COLOR):
 
     def vertex(u, vin):
         clip, p = _mvp_transform(u, vin["pos"])
-        world = _mm(u["model"], p)
+        world = _mat_vec4(u["model"], p)
         light = _phong_lighting(
             jnp.asarray(vin["normal"], jnp.float32),
             world[:3],
