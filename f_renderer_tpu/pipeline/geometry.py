@@ -103,52 +103,86 @@ def _is_top_left(a, b):
     )
 
 
-def _setup_triangles(ndc_xy, spf, spi, rhw, ctx, valid, order, ps_index, cull=False):
-    """Winding repair + per-triangle raster setup (renderer.rs:300-320).
+def _setup_core(
+    ndc_x, ndc_y, spf_x, spf_y, spi_x, spi_y, rhw, ctx, valid, order,
+    ps_index, cull,
+):
+    """Winding repair + raster setup on per-vertex (N,) planes.
 
-    All args have a leading (N, 3, ...) triangle-corner layout. The winding
-    repair (swap v1/v2 when the NDC normal z > 0 — NOT culling) is applied
-    here so the raster kernel sees final vertex order. ``cull=True`` instead
-    drops back-facing (nz > 0) triangles — an option the reference lacks
-    (SURVEY.md §7.3.3), default off for parity.
+    Coordinate args are 3-lists of (N,) planes (vertex-major); ``ctx``
+    stays (N, 3, C). Planar because (N, 3, 2)-shaped math puts the tiny
+    trailing dims on the (sublane, lane) tile — the take_along_axis
+    winding permutation alone cost ~5 ms at 1M triangles. The swap only
+    exchanges v1/v2, so it is three selects per plane, no gather.
+    Semantics are renderer.rs:300-320, element-for-element.
     """
-    v01 = ndc_xy[:, 1] - ndc_xy[:, 0]
-    v02 = ndc_xy[:, 2] - ndc_xy[:, 0]
-    nz = v01[:, 0] * v02[:, 1] - v01[:, 1] * v02[:, 0]
+    v01x = ndc_x[1] - ndc_x[0]
+    v01y = ndc_y[1] - ndc_y[0]
+    v02x = ndc_x[2] - ndc_x[0]
+    v02y = ndc_y[2] - ndc_y[0]
+    nz = v01x * v02y - v01y * v02x
     swap = nz > 0.0  # NaN → no swap, like Rust
     if cull:
         valid = valid & ~swap
         swap = jnp.zeros_like(swap)
-    perm = jnp.where(
-        swap[:, None], jnp.array([0, 2, 1], jnp.int32), jnp.array([0, 1, 2], jnp.int32)
-    )  # (N, 3)
 
-    def apply_perm(arr):
-        idx = perm.reshape(perm.shape + (1,) * (arr.ndim - 2))
-        return jnp.take_along_axis(arr, idx, axis=1)
+    def sw(pl):
+        return [
+            pl[0],
+            jnp.where(swap, pl[2], pl[1]),
+            jnp.where(swap, pl[1], pl[2]),
+        ]
 
-    spi = apply_perm(spi)
-    spf = apply_perm(spf)
-    rhw = apply_perm(rhw[..., None])[..., 0]
-    ctx = apply_perm(ctx)
+    spi_x, spi_y = sw(spi_x), sw(spi_y)
+    spf_x, spf_y = sw(spf_x), sw(spf_y)
+    rhw = sw(rhw)
+    # static permutation (slices, not a dynamic gather) under one select
+    ctx = jnp.where(swap[:, None, None], ctx[:, jnp.array([0, 2, 1]), :], ctx)
+
+    def tlp(ax, ay, bx, by):  # _is_top_left on planes
+        return ((ay == by) & (ax < bx)) | (ay > by)
 
     tl = jnp.stack(
         [
-            _is_top_left(spi[:, 0], spi[:, 1]),
-            _is_top_left(spi[:, 1], spi[:, 2]),
-            _is_top_left(spi[:, 2], spi[:, 0]),
+            tlp(spi_x[0], spi_y[0], spi_x[1], spi_y[1]),
+            tlp(spi_x[1], spi_y[1], spi_x[2], spi_y[2]),
+            tlp(spi_x[2], spi_y[2], spi_x[0], spi_y[0]),
         ],
         axis=-1,
+    )
+    spi = jnp.stack(
+        [jnp.stack([spi_x[v], spi_y[v]], axis=-1) for v in range(3)], axis=1
+    )
+    spf = jnp.stack(
+        [jnp.stack([spf_x[v], spf_y[v]], axis=-1) for v in range(3)], axis=1
     )
     return TriangleBuffer(
         spi=spi,
         spf=spf,
-        rhw=rhw,
+        rhw=jnp.stack(rhw, axis=1),
         ctx=ctx,
         top_left=tl,
         valid=valid,
         order=order.astype(jnp.int32),
         ps_index=jnp.broadcast_to(jnp.asarray(ps_index, jnp.int32), valid.shape),
+    )
+
+
+def _setup_triangles(ndc_xy, spf, spi, rhw, ctx, valid, order, ps_index, cull=False):
+    """Stacked-layout wrapper over :func:`_setup_core` (clip-path use)."""
+    return _setup_core(
+        [ndc_xy[:, v, 0] for v in range(3)],
+        [ndc_xy[:, v, 1] for v in range(3)],
+        [spf[:, v, 0] for v in range(3)],
+        [spf[:, v, 1] for v in range(3)],
+        [spi[:, v, 0] for v in range(3)],
+        [spi[:, v, 1] for v in range(3)],
+        [rhw[:, v] for v in range(3)],
+        ctx,
+        valid,
+        order,
+        ps_index,
+        cull,
     )
 
 
@@ -254,25 +288,42 @@ def geometry_process(
     pos = pos.reshape(f, 3, 4)
     ctx = ctx.reshape(f, 3, c)
 
-    w_ok = jnp.all(pos[..., 3] != 0.0, axis=1)  # renderer.rs:117-119
-    ins = _insides(pos)
-    all_in = jnp.all(ins, axis=(1, 2))
+    # Per-vertex-component (F,) planes: (F, 3, k)-shaped math would put
+    # the tiny trailing dims on the (sublane, lane) tile (~14 ms of the
+    # 1M-face stress4k geometry stage was the (F, 3, 6) inside-mask alone).
+    P = [[pos[:, v, c] for c in range(4)] for v in range(3)]
+    w_ok = (P[0][3] != 0.0) & (P[1][3] != 0.0) & (P[2][3] != 0.0)
+    all_in = None
+    for v in range(3):  # _insides, planar (renderer.rs:46-58)
+        x, y, z, w = P[v]
+        iv = (
+            (x >= -w) & (x <= w) & (y <= w) & (y >= -w)
+            & (z >= 0.0) & (z <= w)
+        )
+        all_in = iv if all_in is None else all_in & iv
     face_idx = jnp.arange(f, dtype=jnp.int32)
 
     # ---- Path A: all-inside faces (no clip, no sort) ----
     a_valid = w_ok & all_in
-    a_rhw = 1.0 / pos[..., 3]
-    ndc_xy, spf, spi = _screen_coords(pos, a_rhw, width, height)
-    buf_a = _setup_triangles(
-        ndc_xy,
-        spf,
-        spi,
-        a_rhw,
-        ctx,
-        a_valid,
-        order_base + face_idx * MAX_FAN,
-        ps_index,
-        cull=cull,
+    wf = jnp.float32(width)
+    hf = jnp.float32(height)
+    rhw_p, ndc_x, ndc_y, spf_x, spf_y, spi_x, spi_y = ([] for _ in range(7))
+    for v in range(3):  # _screen_coords, planar (renderer.rs:220-235)
+        rhw_v = 1.0 / P[v][3]
+        nx = P[v][0] * rhw_v
+        ny = P[v][1] * rhw_v
+        sx = (nx + 1.0) * wf * 0.5
+        sy = (1.0 - ny) * hf * 0.5
+        rhw_p.append(rhw_v)
+        ndc_x.append(nx)
+        ndc_y.append(ny)
+        spf_x.append(sx)
+        spf_y.append(sy)
+        spi_x.append(_f32_to_i32_sat(sx + 0.5))
+        spi_y.append(_f32_to_i32_sat(sy + 0.5))
+    buf_a = _setup_core(
+        ndc_x, ndc_y, spf_x, spf_y, spi_x, spi_y, rhw_p, ctx,
+        a_valid, order_base + face_idx * MAX_FAN, ps_index, cull,
     )
 
     # ---- Path B: clipped faces, compacted to clip_cap slots ----
