@@ -87,6 +87,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fr_png_write.argtypes = [ctypes.c_char_p, _u8p, ctypes.c_int, ctypes.c_int]
     lib.fr_png_read.restype = ctypes.c_int
     lib.fr_png_read.argtypes = [ctypes.c_char_p, ctypes.c_int, _i32p, _i32p, _u8p]
+    lib.fr_voxel_render.restype = None
+    lib.fr_voxel_render.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        _i32p, _i32p, _i32p, _u8p,
+        ctypes.c_float, ctypes.c_int,
+        _f32p, _f32p,
+        _u8p,
+    ]
     _lib = lib
     return _lib
 
@@ -169,6 +177,40 @@ def render_scene(
         frame.ctypes.data_as(_u8p), depth.ctypes.data_as(_f32p),
     )
     return frame, depth, int(ntris)
+
+
+def voxel_render(
+    width: int,
+    height: int,
+    svo,
+    length: float,
+    level: int,
+    eye,
+    inv_mvp,
+) -> np.ndarray:
+    """Native scalar SVO raycast frame (voxel.rs:135-416 semantics).
+
+    ``svo``: octree.SvoArrays (flat node-table form). Returns (H, W, 4) u8
+    BGRA. Single-threaded — the CPU baseline for the voxel540 bench config.
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    valid = np.ascontiguousarray(svo.valid_mask, np.int32)
+    leafm = np.ascontiguousarray(svo.leaf_mask, np.int32)
+    child = np.ascontiguousarray(svo.child_index, np.int32)
+    color = np.ascontiguousarray(svo.leaf_color, np.uint8)
+    eye = np.ascontiguousarray(eye, np.float32)
+    inv_mvp = np.ascontiguousarray(inv_mvp, np.float32)
+    out = np.zeros((height, width, 4), np.uint8)
+    lib.fr_voxel_render(
+        width, height,
+        valid.ctypes.data_as(_i32p), leafm.ctypes.data_as(_i32p),
+        child.ctypes.data_as(_i32p), color.ctypes.data_as(_u8p),
+        ctypes.c_float(length), level,
+        eye.ctypes.data_as(_f32p), inv_mvp.ctypes.data_as(_f32p),
+        out.ctypes.data_as(_u8p),
+    )
+    return out
 
 
 def load_obj(path: str):

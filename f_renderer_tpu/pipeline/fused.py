@@ -30,6 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from f_renderer_tpu.pipeline.raster_pallas import (
     NF_I,
+    NF_SMEM_F,
+    _SLOT,
     _cdiv,
     _make_kernel,
     _prep,
@@ -186,6 +188,9 @@ def prep_fused(
     statics = dict(
         th=th, tw=tw, chunk=chunk, binned=binned, n_ctx=n_ctx,
         h_pad=h_pad, w_pad=w_pad, height=height, width=width,
+        # Chunk-deferred varying interpolation (raster_pallas._make_kernel
+        # docstring) needs the 128-lane in-chunk gather: chunk == tw.
+        deferred=bool(binned and n_ctx and chunk == tw),
     )
     return arrays, statics
 
@@ -261,9 +266,15 @@ def render_fused_prepared(
         light_pos=light_pos,
         light_color=light_color,
     )
+    deferred = bool(statics.get("deferred", False))
+    # Cross-program DMA prefetch relies on scratch/semaphore state persisting
+    # across sequential grid programs — true on hardware, not guaranteed by
+    # the interpreter, so interpret runs keep the self-start path.
+    cross_prefetch = binned and not interpret
     kernel = _make_kernel(
         th=th, tw=tw, chunk=chunk, id_base=0, n_ctx=n_ctx, epilogue=epilogue,
-        binned=binned,
+        binned=binned, deferred=deferred, cross_prefetch=cross_prefetch,
+        bg_empty=bg_packed,
     )
 
     grid = (h_pad // th, w_pad // tw)
@@ -302,6 +313,17 @@ def render_fused_prepared(
         ),
         scratch_shapes=(
             [
+                pltpu.SMEM((2, NF_I, chunk), jnp.int32),
+                pltpu.SMEM((2, NF_SMEM_F, chunk), jnp.float32),
+                pltpu.VMEM((2, NF_I - 8, chunk), jnp.int32),
+                pltpu.VMEM((2, nf_f, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if deferred
+            else [
                 pltpu.SMEM((2, NF_I, chunk), jnp.int32),
                 pltpu.SMEM((2, nf_f, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),

@@ -283,9 +283,15 @@ def bin_pairs(
     return ptri_s, off
 
 
+# Deferred mode: per-pair scalar reads only touch the spf/rhw rows (0..8),
+# but HBM DMA source slices must be sublane-aligned → copy 16 rows.
+NF_SMEM_F = 16
+
+
 def _make_kernel(
     *, th: int, tw: int, chunk: int, id_base: int, n_ctx: int, epilogue=None,
-    binned: bool = False,
+    binned: bool = False, deferred: bool = False, cross_prefetch: bool = False,
+    bg_empty: int = 0,
 ):
     """Build the raster kernel body.
 
@@ -293,15 +299,47 @@ def _make_kernel(
     varying planes. With ``epilogue`` (fused shading, pipeline/fused.py) the
     trailing refs are (uni, dims, tex, rgba_out, depth_out, winner_out) and
     the epilogue consumes the final carries instead of the default stores.
+
+    ``deferred`` (binned, n_ctx>0, chunk==tw==128 only): the triangle loop
+    carries just (depth, worder, wpair) — wpair is the global pair index of
+    the currently-winning pair — and at the END of each resident chunk a
+    vectorized pass lane-gathers the winning pair's fields
+    (``jnp.take_along_axis``, the texture-sampler technique), recomputes its
+    barycentrics bit-exactly from the same spf inputs, and interpolates the
+    C varying channels ONCE per pixel instead of per pair
+    (renderer.rs:368-378). This removes ~3C+2 SMEM scalar reads and ~5C+4
+    vector ops per *pair* for ~35 gathers + ~60 ops per *chunk* (amortized
+    <1 op/pair at chunk=128). Chunk tables are DMA'd to SMEM (per-pair
+    scalar reads) AND VMEM (the lane gathers) — VMEM cannot be scalar-
+    indexed per pair, SMEM cannot be lane-gathered.
+
+    ``cross_prefetch`` (binned): each program starts the NEXT tile's first
+    chunk DMA before running its epilogue (scratch + semaphores persist
+    across sequential grid programs), hiding the first-chunk DMA wait.
+    Binned mode also skips all per-tile work (including the sampler
+    epilogue's cross-lane range reductions) on tiles with no pairs at all.
     """
+    if deferred:
+        assert binned and n_ctx and chunk == tw, (binned, n_ctx, chunk, tw)
 
     def kernel(cb_ref, origin_ref, tri_i_ref, tri_f_ref, *rest):
+        wi_ref = wf_ref = sem_wi = sem_wf = None
         if epilogue is not None:
-            (uni_ref, dims_ref, tex_ref, rgba_ref, depth_ref, winner_ref,
-             vi_ref, vf_ref, sem_i, sem_f) = rest
+            if deferred:
+                (uni_ref, dims_ref, tex_ref, rgba_ref, depth_ref, winner_ref,
+                 vi_ref, vf_ref, wi_ref, wf_ref,
+                 sem_i, sem_f, sem_wi, sem_wf) = rest
+            else:
+                (uni_ref, dims_ref, tex_ref, rgba_ref, depth_ref, winner_ref,
+                 vi_ref, vf_ref, sem_i, sem_f) = rest
         elif n_ctx:
-            (depth_ref, worder_ref, winner_ref, ps_ref, ctx_ref,
-             vi_ref, vf_ref, sem_i, sem_f) = rest
+            if deferred:
+                (depth_ref, worder_ref, winner_ref, ps_ref, ctx_ref,
+                 vi_ref, vf_ref, wi_ref, wf_ref,
+                 sem_i, sem_f, sem_wi, sem_wf) = rest
+            else:
+                (depth_ref, worder_ref, winner_ref, ps_ref, ctx_ref,
+                 vi_ref, vf_ref, sem_i, sem_f) = rest
         else:
             (depth_ref, worder_ref, winner_ref,
              vi_ref, vf_ref, sem_i, sem_f) = rest
@@ -316,7 +354,7 @@ def _make_kernel(
         pcx = cx.astype(jnp.float32) + 0.5
         pcy = cy.astype(jnp.float32) + 0.5
 
-        def make_tri_body(read_i, read_f, gated=None):
+        def make_tri_body(read_i, read_f, gated=None, pair_base=None):
             ungated = not binned if gated is None else not gated
 
             def tri_body(t, carry):
@@ -344,7 +382,9 @@ def _make_kernel(
                 )
 
             def _tri_vector_work(t, minx, maxx, miny, maxy, carry):
-                if n_ctx:
+                if deferred:
+                    depth, worder, wpair = carry
+                elif n_ctx:
                     depth, worder, winner, ps, ctx = carry
                 else:
                     depth, worder, winner = carry
@@ -392,6 +432,11 @@ def _make_kernel(
                 accept = cover & ((rhw > depth) | ((rhw >= depth) & (o > worder)))
                 depth = jnp.where(accept, rhw, depth)
                 worder = jnp.where(accept, o, worder)
+                if deferred:
+                    # Only record WHICH pair won; fields/varyings are
+                    # lane-gathered once per chunk in _deferred_update.
+                    wpair = jnp.where(accept, pair_base + t, wpair)
+                    return depth, worder, wpair
                 winner = jnp.where(accept, id_base + i32f(_SLOT), winner)
                 if not n_ctx:
                     return depth, worder, winner
@@ -420,10 +465,13 @@ def _make_kernel(
         if binned:
             # Spill triangles (span > k tiles) are scanned by every tile —
             # gate their vector work per-triangle; own-range pairs are exact.
-            _make_slot_tri_body = lambda slot, gated=False: make_tri_body(
-                lambda col, t: vi_ref[slot, col, t],
-                lambda col, t: vf_ref[slot, col, t],
-                gated=gated,
+            _make_slot_tri_body = lambda slot, gated=False, pair_base=None: (
+                make_tri_body(
+                    lambda col, t: vi_ref[slot, col, t],
+                    lambda col, t: vf_ref[slot, col, t],
+                    gated=gated,
+                    pair_base=pair_base,
+                )
             )
         else:
             tri_body = make_tri_body(
@@ -456,7 +504,16 @@ def _make_kernel(
             )
 
         zero = jnp.zeros((th, tw), jnp.float32)
-        if n_ctx:
+        if deferred:
+            init = (
+                zero,
+                jnp.full((th, tw), ORDER_NONE, jnp.int32),
+                jnp.full((th, tw), -1, jnp.int32),  # wpair
+                jnp.full((th, tw), -1, jnp.int32),  # winner
+                jnp.zeros((th, tw), jnp.int32),  # ps
+                [zero] * n_ctx,
+            )
+        elif n_ctx:
             init = (
                 zero,
                 jnp.full((th, tw), ORDER_NONE, jnp.int32),
@@ -470,6 +527,56 @@ def _make_kernel(
                 jnp.full((th, tw), ORDER_NONE, jnp.int32),
                 jnp.full((th, tw), -1, jnp.int32),
             )
+
+        def _deferred_update(slot, pair_base, depth, wpair, winner, ps, ctx):
+            """Interpolate varyings for pixels whose winning pair is in the
+            resident chunk (renderer.rs:368-378, bit-exact: barycentrics are
+            recomputed from the same spf field values and tile pixel centers
+            that produced the accept in the triangle loop)."""
+            off = wpair - pair_base
+            mask = (off >= 0) & (off < chunk)
+            lane = jnp.clip(off, 0, chunk - 1)
+
+            def gf(row):
+                trow = jnp.broadcast_to(
+                    wf_ref[slot, pl.ds(row, 1), :], (th, tw)
+                )
+                return jnp.take_along_axis(trow, lane, axis=1)
+
+            def gi(row):
+                trow = jnp.broadcast_to(
+                    wi_ref[slot, pl.ds(row, 1), :], (th, tw)
+                )
+                return jnp.take_along_axis(trow, lane, axis=1)
+
+            s0x = gf(_S0X) - pcx
+            s0y = gf(_S0Y) - pcy
+            s1x = gf(_S1X) - pcx
+            s1y = gf(_S1Y) - pcy
+            s2x = gf(_S2X) - pcx
+            s2y = gf(_S2Y) - pcy
+            a = jnp.abs(s1x * s2y - s1y * s2x)
+            b = jnp.abs(s2x * s0y - s2y * s0x)
+            c = jnp.abs(s0x * s1y - s0y * s1x)
+            inv_s = 1.0 / (a + b + c)
+            w_corr = 1.0 / jnp.where(depth != 0.0, depth, 1.0)
+            c0 = gf(_RHW0) * (a * inv_s) * w_corr
+            c1 = gf(_RHW1) * (b * inv_s) * w_corr
+            c2 = gf(_RHW2) * (c * inv_s) * w_corr
+            ctx = [
+                jnp.where(
+                    mask,
+                    gf(_CTX0 + ch) * c0
+                    + gf(_CTX0 + n_ctx + ch) * c1
+                    + gf(_CTX0 + 2 * n_ctx + ch) * c2,
+                    ctx[ch],
+                )
+                for ch in range(n_ctx)
+            ]
+            winner = jnp.where(mask, id_base + gi(_SLOT - 8), winner)
+            ps = jnp.where(mask, gi(_PS - 8), ps)
+            return winner, ps, ctx
+
         if binned:
             # cb_ref is the pair-offset table (bin_pairs): own exact fine
             # range (ungated), then this tile's coarse-bin range and the
@@ -508,23 +615,70 @@ def _make_kernel(
                     ),
                 )
 
-            def start_dma(i):
-                slot = jax.lax.rem(i, 2)
-                ci = chunk_of(i)
-                pltpu.make_async_copy(
-                    tri_i_ref.at[:, pl.ds(ci * chunk, chunk)],
-                    vi_ref.at[slot],
-                    sem_i.at[slot],
-                ).start()
-                pltpu.make_async_copy(
-                    tri_f_ref.at[:, pl.ds(ci * chunk, chunk)],
-                    vf_ref.at[slot],
-                    sem_f.at[slot],
-                ).start()
+            def dmas(slot, ci):
+                out = [
+                    pltpu.make_async_copy(
+                        tri_i_ref.at[:, pl.ds(ci * chunk, chunk)],
+                        vi_ref.at[slot],
+                        sem_i.at[slot],
+                    )
+                ]
+                if deferred:
+                    # SMEM gets only the per-pair scalar rows; the full f32
+                    # block (ctx rows included) and the slot/ps i32 rows go
+                    # to VMEM for the chunk-deferred lane gathers.
+                    out.append(
+                        pltpu.make_async_copy(
+                            tri_f_ref.at[:NF_SMEM_F, pl.ds(ci * chunk, chunk)],
+                            vf_ref.at[slot],
+                            sem_f.at[slot],
+                        )
+                    )
+                    out.append(
+                        pltpu.make_async_copy(
+                            # rows 8..16 (sublane-aligned slice; only the
+                            # _SLOT/_PS rows are gathered)
+                            tri_i_ref.at[8:NF_I, pl.ds(ci * chunk, chunk)],
+                            wi_ref.at[slot],
+                            sem_wi.at[slot],
+                        )
+                    )
+                    out.append(
+                        pltpu.make_async_copy(
+                            tri_f_ref.at[:, pl.ds(ci * chunk, chunk)],
+                            wf_ref.at[slot],
+                            sem_wf.at[slot],
+                        )
+                    )
+                else:
+                    out.append(
+                        pltpu.make_async_copy(
+                            tri_f_ref.at[:, pl.ds(ci * chunk, chunk)],
+                            vf_ref.at[slot],
+                            sem_f.at[slot],
+                        )
+                    )
+                return out
 
-            @pl.when(n_tot > 0)
-            def _():
-                start_dma(0)
+            def start_dma_at(slot, ci):
+                for d in dmas(slot, ci):
+                    d.start()
+
+            def start_dma(i):
+                start_dma_at(jax.lax.rem(i, 2), chunk_of(i))
+
+            if cross_prefetch:
+                # Programs run sequentially on the core; program p's first
+                # chunk was started by program p-1's epilogue-time prefetch
+                # (scratch + semaphores persist across grid programs), so
+                # only the very first program self-starts.
+                @pl.when((t_lin == 0) & (n_tot > 0))
+                def _():
+                    start_dma(0)
+            else:
+                @pl.when(n_tot > 0)
+                def _():
+                    start_dma(0)
 
             def pipelined_chunk(i, cr):
                 slot = jax.lax.rem(i, 2)
@@ -534,16 +688,8 @@ def _make_kernel(
                     start_dma(i + 1)
 
                 ci = chunk_of(i)
-                pltpu.make_async_copy(
-                    tri_i_ref.at[:, pl.ds(ci * chunk, chunk)],
-                    vi_ref.at[slot],
-                    sem_i.at[slot],
-                ).wait()
-                pltpu.make_async_copy(
-                    tri_f_ref.at[:, pl.ds(ci * chunk, chunk)],
-                    vf_ref.at[slot],
-                    sem_f.at[slot],
-                ).wait()
+                for d in dmas(slot, ci):
+                    d.wait()
                 is_own = i < n_own
                 is_coarse = ~is_own & (i < n_own + n_coarse)
                 r_start = jnp.where(
@@ -554,21 +700,107 @@ def _make_kernel(
                 )
                 lo = jnp.maximum(r_start - ci * chunk, 0)
                 hi = jnp.minimum(r_end - ci * chunk, chunk)
-                return jax.lax.cond(
+                pair_base = ci * chunk
+                if deferred:
+                    core, aux = cr[:3], cr[3:]
+                else:
+                    core, aux = cr, None
+                core = jax.lax.cond(
                     is_own,
                     lambda c: jax.lax.fori_loop(
-                        lo, hi, _make_slot_tri_body(slot, gated=False), c
+                        lo, hi,
+                        _make_slot_tri_body(
+                            slot, gated=False, pair_base=pair_base
+                        ),
+                        c,
                     ),
                     lambda c: jax.lax.fori_loop(
-                        lo, hi, _make_slot_tri_body(slot, gated=True), c
+                        lo, hi,
+                        _make_slot_tri_body(
+                            slot, gated=True, pair_base=pair_base
+                        ),
+                        c,
                     ),
-                    cr,
+                    core,
                 )
+                if not deferred:
+                    return core
+                winner, ps, ctx = _deferred_update(
+                    slot, pair_base, core[0], core[2], aux[0], aux[1], aux[2]
+                )
+                return core + (winner, ps, ctx)
 
             out = jax.lax.fori_loop(0, n_tot, pipelined_chunk, init)
-        else:
-            nchunks = cb_ref.shape[1]
-            out = jax.lax.fori_loop(0, nchunks, chunk_body, init)
+
+            if cross_prefetch:
+                # Issue the NEXT tile's first-chunk DMA before our epilogue
+                # so its ~µs HBM latency hides behind the shading work.
+                nt = t_lin + 1
+
+                @pl.when(nt < ntiles)
+                def _():
+                    ty2 = nt // ntx_g
+                    tx2 = jax.lax.rem(nt, ntx_g)
+                    c_lin2 = ntiles + (ty2 // COARSE) * ntxc + (tx2 // COARSE)
+                    start2 = cb_ref[nt]
+                    end2 = cb_ref[nt + 1]
+                    cs2 = cb_ref[c_lin2]
+                    ce2 = cb_ref[c_lin2 + 1]
+                    n_own2 = (end2 + chunk - 1) // chunk - start2 // chunk
+                    n_coarse2 = (ce2 + chunk - 1) // chunk - cs2 // chunk
+                    first_ci = jnp.where(
+                        n_own2 > 0,
+                        start2 // chunk,
+                        jnp.where(n_coarse2 > 0, cs2 // chunk, s0),
+                    )
+
+                    @pl.when(n_own2 + n_coarse2 + n_spill > 0)
+                    def _():
+                        start_dma_at(0, first_ci)
+
+            if deferred:
+                depth_o, worder_o, _wpair, winner_o, ps_o, ctx_o = out
+                out = (depth_o, worder_o, winner_o, ps_o, ctx_o)
+
+            # Pair-less tiles skip stores-from-carries AND the epilogue
+            # (whose sampler range reductions cost ~µs even with nothing
+            # selected) — one scalar test writes background directly.
+            @pl.when(n_tot == 0)
+            def _():
+                if epilogue is not None:
+                    rgba_ref[:] = jnp.full((th, tw), bg_empty, jnp.int32)
+                    depth_ref[:] = jnp.zeros((th, tw), jnp.float32)
+                    winner_ref[:] = jnp.full((th, tw), -1, jnp.int32)
+                else:
+                    depth_ref[:] = jnp.zeros((th, tw), jnp.float32)
+                    worder_ref[:] = jnp.full((th, tw), ORDER_NONE, jnp.int32)
+                    winner_ref[:] = jnp.full((th, tw), -1, jnp.int32)
+                    if n_ctx:
+                        ps_ref[:] = jnp.zeros((th, tw), jnp.int32)
+                        for ch in range(n_ctx):
+                            ctx_ref[ch] = jnp.zeros((th, tw), jnp.float32)
+
+            @pl.when(n_tot > 0)
+            def _():
+                if epilogue is not None:
+                    epilogue(
+                        out[0], out[1], out[2], out[3], out[4],
+                        (uni_ref, dims_ref, tex_ref, rgba_ref, depth_ref,
+                         winner_ref),
+                    )
+                else:
+                    depth_ref[:] = out[0]
+                    worder_ref[:] = out[1]
+                    winner_ref[:] = out[2]
+                    if n_ctx:
+                        ps_ref[:] = out[3]
+                        for ch in range(n_ctx):
+                            ctx_ref[ch] = out[4][ch]
+
+            return
+
+        nchunks = cb_ref.shape[1]
+        out = jax.lax.fori_loop(0, nchunks, chunk_body, init)
         if epilogue is not None:
             epilogue(
                 out[0], out[1], out[2], out[3], out[4],

@@ -785,3 +785,198 @@ FR_API int fr_png_read(const char* path, int want_bgra, int32_t* out_w,
   std::fclose(f);
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// C ABI: SVO raycaster baseline (voxel.rs:21-416)
+//
+// Single-threaded scalar implementation of the reference voxel demo's hot
+// loop, semantics-faithful: per pixel NDC -> unprojected ray dir
+// (voxel.rs:141-150), cube entry/exit by per-axis plane intersection with
+// the quirky sort/"dedupe" (VoxelCube::intersect, voxel.rs:239-334), then a
+// fixed-step march (step = length/2^level * 0.01, voxel.rs:340) doing a
+// recursive octree point query per step (find_leaf, voxel.rs:357-394,
+// octant bit layout voxel.rs:396-411).  The octree arrives as the flat
+// node-table form (octree.flatten): valid/leaf masks, child ids (N,8),
+// leaf colors (N,8,4 BGRA).  Used by baselines/measure_cpu.py to produce
+// the voxel540 vs_baseline entry.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Svo {
+  const int32_t* valid;
+  const int32_t* leafm;
+  const int32_t* child;      // (N, 8)
+  const uint8_t* leaf_color; // (N, 8, 4)
+};
+
+// find_leaf (voxel.rs:357-394): half-open inside test per octant, recursive
+// descent.  Returns pointer to BGRA color or null.
+static const uint8_t* svo_find_leaf(const Svo& s, int32_t node,
+                                    float rx, float ry, float rz, float len,
+                                    float px, float py, float pz) {
+  for (int i = 0; i < 8; ++i) {
+    int bit = 1 << i;
+    if (!(s.valid[node] & bit)) continue;
+    float half = len * 0.5f;
+    // get_sub_cube_range bit layout (voxel.rs:396-411)
+    float sx = rx + (float)(i & 1) * half;
+    float sy = ry + (float)((i >> 2) & 1) * half;
+    float sz = rz + (float)((i >> 1) & 1) * half;
+    if (px >= sx && px < sx + half && py >= sy && py < sy + half &&
+        pz >= sz && pz < sz + half) {
+      if (s.leafm[node] & bit) return s.leaf_color + ((size_t)node * 8 + i) * 4;
+      int32_t c = s.child[(size_t)node * 8 + i];
+      if (c < 0) return nullptr;
+      return svo_find_leaf(s, c, sx, sy, sz, half, px, py, pz);
+    }
+  }
+  return nullptr;
+}
+
+// VoxelCube::intersect (voxel.rs:239-334).  Returns the number of collected
+// points after the sort/"dedupe"; start/end written when >= 1.
+static int voxel_cube_intersect(const float* eye, const float* dir, float length,
+                                float* start, float* end) {
+  float pts[8][3];
+  int cnt = 0;
+  auto push = [&](float x, float y, float z) {
+    if (cnt < 8) { pts[cnt][0] = x; pts[cnt][1] = y; pts[cnt][2] = z; }
+    ++cnt;
+  };
+  bool handled_parallel = false;
+  for (int axis = 0; axis < 3; ++axis) {
+    float n[3] = {0, 0, 0};
+    n[axis] = 1.0f;
+    // dir x n == 0  -> ray parallel to this axis
+    float cr[3] = {dir[1] * n[2] - dir[2] * n[1],
+                   dir[2] * n[0] - dir[0] * n[2],
+                   dir[0] * n[1] - dir[1] * n[0]};
+    bool is_parallel = cr[0] == 0.0f && cr[1] == 0.0f && cr[2] == 0.0f;
+    if (is_parallel && !handled_parallel) {
+      float p[3];
+      bool inside = true;
+      for (int a = 0; a < 3; ++a) {
+        p[a] = (1.0f - n[a]) * eye[a];
+        if (!(p[a] >= 0.0f && p[a] <= length)) inside = false;
+      }
+      if (inside) {
+        push(p[0], p[1], p[2]);
+        push(p[0] + length * (1.0f - n[0]), p[1] + length * (1.0f - n[1]),
+             p[2] + length * (1.0f - n[2]));
+        handled_parallel = true;
+      }
+      continue;
+    }
+    float dir_dot_n = dir[axis];
+    if (dir_dot_n == 0.0f) continue;
+    for (int a_scale = 0; a_scale < 2; ++a_scale) {
+      float a[3] = {n[0] * length * a_scale, n[1] * length * a_scale,
+                    n[2] * length * a_scale};
+      float ap[3] = {a[0] - eye[0], a[1] - eye[1], a[2] - eye[2]};
+      float apc[3] = {ap[1] * dir[2] - ap[2] * dir[1],
+                      ap[2] * dir[0] - ap[0] * dir[2],
+                      ap[0] * dir[1] - ap[1] * dir[0]};
+      if (apc[0] == 0.0f && apc[1] == 0.0f && apc[2] == 0.0f) {
+        push(a[0], a[1], a[2]);  // plane anchor lies on the ray line
+        continue;
+      }
+      float t = ap[axis] / dir_dot_n;
+      if (t < 0.0f) continue;
+      float b[3] = {eye[0] + dir[0] * t, eye[1] + dir[1] * t,
+                    eye[2] + dir[2] * t};
+      if (b[0] >= 0.0f && b[0] <= length && b[1] >= 0.0f && b[1] <= length &&
+          b[2] >= 0.0f && b[2] <= length)
+        push(b[0], b[1], b[2]);
+    }
+  }
+  if (cnt == 0) return 0;
+  int m = cnt < 8 ? cnt : 8;
+  // stable sort by distance to eye (voxel.rs:321)
+  float d[8];
+  for (int k = 0; k < m; ++k) {
+    float dx = pts[k][0] - eye[0], dy = pts[k][1] - eye[1],
+          dz = pts[k][2] - eye[2];
+    d[k] = std::sqrt(dx * dx + dy * dy + dz * dz);
+  }
+  int idx[8];
+  for (int k = 0; k < m; ++k) idx[k] = k;
+  for (int i2 = 1; i2 < m; ++i2) {  // insertion sort = stable
+    int ky = idx[i2];
+    float dy2 = d[ky];
+    int j = i2 - 1;
+    while (j >= 0 && d[idx[j]] > dy2) { idx[j + 1] = idx[j]; --j; }
+    idx[j + 1] = ky;
+  }
+  float sorted[8][3];
+  for (int k = 0; k < m; ++k)
+    for (int a = 0; a < 3; ++a) sorted[k][a] = pts[idx[k]][a];
+  if (cnt > 2) {
+    // the reference's scrambling "dedupe" (voxel.rs:323-331), literal:
+    //   i = 1; for j in 0..len { if pts[i] != pts[j] { pts[i] = pts[j]; i = j } }
+    int i2 = 1;
+    for (int j = 0; j < m; ++j) {
+      if (sorted[i2][0] != sorted[j][0] || sorted[i2][1] != sorted[j][1] ||
+          sorted[i2][2] != sorted[j][2]) {
+        sorted[i2][0] = sorted[j][0];
+        sorted[i2][1] = sorted[j][1];
+        sorted[i2][2] = sorted[j][2];
+        i2 = j;
+      }
+    }
+  }
+  for (int a = 0; a < 3; ++a) {
+    start[a] = sorted[0][a];
+    end[a] = (m == 1) ? sorted[0][a] : sorted[1][a];
+  }
+  return m;
+}
+
+}  // namespace
+
+// Renders one frame; out = (H, W, 4) u8 BGRA (Rgba byte order,
+// wgpu_base.rs:13-20; miss = opaque black, Rgba::new()).
+FR_API void fr_voxel_render(
+    int width, int height,
+    const int32_t* valid_mask, const int32_t* leaf_mask,
+    const int32_t* child_index, const uint8_t* leaf_color,
+    float length, int level,
+    const float* eye, const float* inv_mvp,
+    uint8_t* out) {
+  Svo svo{valid_mask, leaf_mask, child_index, leaf_color};
+  float per_t = length / (float)(1 << level) * 0.01f;
+  for (int y = 0; y < height; ++y) {
+    for (int x = 0; x < width; ++x) {
+      uint8_t* px = out + ((size_t)y * width + x) * 4;
+      px[0] = 0; px[1] = 0; px[2] = 0; px[3] = 255;
+      // screen -> NDC -> world ray dir (voxel.rs:141-150)
+      float ndc_x = (float)x * 2.0f / (float)width - 1.0f;
+      float ndc_y = 1.0f - (float)y * 2.0f / (float)height;
+      float dir[3];
+      for (int i = 0; i < 3; ++i)
+        dir[i] = ((inv_mvp[i * 4 + 0] * ndc_x + inv_mvp[i * 4 + 1] * ndc_y) +
+                  inv_mvp[i * 4 + 2]) + inv_mvp[i * 4 + 3];
+      float nrm = std::sqrt(dir[0] * dir[0] + dir[1] * dir[1] + dir[2] * dir[2]);
+      dir[0] /= nrm; dir[1] /= nrm; dir[2] /= nrm;
+      float start[3], endp[3];
+      if (voxel_cube_intersect(eye, dir, length, start, endp) == 0) continue;
+      // Rust f32::min ignores NaN (axis-parallel 0/0 components)
+      float t_max = std::fmin(
+          std::fmin((endp[0] - start[0]) / dir[0], (endp[1] - start[1]) / dir[1]),
+          (endp[2] - start[2]) / dir[2]);
+      if (!(t_max >= 0.0f)) continue;
+      float t = 0.0f;
+      while (true) {  // `while t <= t_max` with post-query advance
+        float p[3] = {start[0] + t * dir[0], start[1] + t * dir[1],
+                      start[2] + t * dir[2]};
+        const uint8_t* c = nullptr;
+        if (p[0] >= 0.0f && p[0] < length && p[1] >= 0.0f && p[1] < length &&
+            p[2] >= 0.0f && p[2] < length)
+          c = svo_find_leaf(svo, 0, 0.0f, 0.0f, 0.0f, length, p[0], p[1], p[2]);
+        if (c) { px[0] = c[0]; px[1] = c[1]; px[2] = c[2]; px[3] = 255; break; }
+        if (t >= t_max) break;
+        t = std::fmin(t + per_t, t_max);
+      }
+    }
+  }
+}
