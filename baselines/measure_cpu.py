@@ -33,9 +33,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CONFIGS = ["cube512", "gouraud800", "textured1080", "phong1080", "stress4k"]
+CONFIGS = [
+    "cube512", "gouraud800", "textured1080", "phong1080", "stress4k",
+    "voxel540",
+]
 # Full-frame repetitions per config; heavy configs get fewer.
-FRAMES = {"cube512": 10, "gouraud800": 5, "textured1080": 3, "phong1080": 3, "stress4k": 1}
+FRAMES = {
+    "cube512": 10, "gouraud800": 5, "textured1080": 3, "phong1080": 3,
+    "stress4k": 1, "voxel540": 3,
+}
 # Shader per config — must match bench.py's build_scene exactly.
 SHADER_FOR = {
     "cube512": "phong",
@@ -46,7 +52,57 @@ SHADER_FOR = {
 }
 
 
+def measure_voxel(name: str = "voxel540") -> dict:
+    """Native scalar SVO raycast (voxel.rs:139-172 semantics) — the second
+    flagship workload's single-core baseline. Same scene/camera as
+    bench.bench_voxel (rng seed 0, level-3 octree, 960×540 orbit)."""
+    from f_renderer_tpu import native
+    from f_renderer_tpu.math import set_identity, set_look_at, set_perspective
+    from f_renderer_tpu.voxel.octree import flatten, gen_randomly
+
+    width, height, level, length = 960, 540, 3, 2.0
+    rng = np.random.default_rng(0)
+    svo = flatten(gen_randomly(level, rng))
+    proj = np.asarray(set_perspective(np.pi * 0.25, width / height, 0.1, 100.0))
+    center = np.array([length / 2] * 3, np.float32)
+
+    frames = FRAMES[name]
+    t0 = time.time()
+    for i in range(frames):
+        ang = 0.3 + 0.08 * i
+        eye = center + np.array(
+            [3.0 * np.cos(ang), 1.2, 3.0 * np.sin(ang)], np.float32
+        )
+        view = np.asarray(set_look_at(eye, center, [0, 1, 0]))
+        mvp = proj @ view @ np.asarray(set_identity())
+        inv_mvp = np.linalg.inv(mvp).astype(np.float32)
+        frame = native.voxel_render(
+            width, height, svo, length, level, eye, inv_mvp
+        )
+    dt = (time.time() - t0) / frames
+    mray = width * height / dt / 1e6
+    rec = {
+        "config": name,
+        "width": width,
+        "height": height,
+        "tris": 0,
+        "frame_ms": dt * 1e3,
+        "mpix_per_s": mray,  # Mrays/s — same unit bench_voxel reports
+        "mtris_per_s": 0.0,
+        "impl": "native C++ single thread (voxel.rs fixed-step march)",
+    }
+    print(
+        f"[{name}] {width}x{height} level={level} frame={dt * 1e3:.1f}ms "
+        f"Mrays/s={mray:.2f}",
+        file=sys.stderr,
+        flush=True,
+    )
+    return rec
+
+
 def measure(name: str) -> dict:
+    if name == "voxel540":
+        return measure_voxel(name)
     import bench
     from f_renderer_tpu import native
     from f_renderer_tpu.math import set_rotate

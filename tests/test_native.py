@@ -162,3 +162,39 @@ def test_png_roundtrip(tmp_path):
     bgra = native.read_png(path, bgra=True)
     np.testing.assert_array_equal(bgra[..., 0], frame[..., 2])
     np.testing.assert_array_equal(bgra[..., 2], frame[..., 0])
+
+
+def test_voxel_native_matches_jnp_march():
+    """The C++ recursive-octree fixed-step march (fr_voxel_render — the
+    voxel540 CPU baseline) must agree bit-for-bit with the jnp parity path
+    over the densified grid (octree.densify equivalence)."""
+    import jax.numpy as jnp
+
+    from f_renderer_tpu.math import set_identity, set_look_at, set_perspective
+    from f_renderer_tpu.voxel.octree import densify, flatten, gen_randomly
+    from f_renderer_tpu.voxel.raycast import (
+        VoxelRenderConfig,
+        render_voxel_frame,
+    )
+
+    rng = np.random.default_rng(0)
+    root = gen_randomly(3, rng)
+    svo = flatten(root)
+    gc, gh = densify(root, 3)
+    w, h, length = 64, 36, 2.0
+    proj = np.asarray(set_perspective(np.pi * 0.25, w / h, 0.1, 100.0))
+    center = np.array([length / 2] * 3, np.float32)
+    eye = center + np.array(
+        [3.0 * np.cos(0.3), 1.2, 3.0 * np.sin(0.3)], np.float32
+    )
+    view = np.asarray(set_look_at(eye, center, [0, 1, 0]))
+    mvp = proj @ view @ np.asarray(set_identity())
+    inv = np.linalg.inv(mvp).astype(np.float32)
+    nf = native.voxel_render(w, h, svo, length, 3, eye, inv)
+    cfg = VoxelRenderConfig(width=w, height=h, level=3, length=length,
+                            backend="jnp")
+    jf = np.asarray(
+        render_voxel_frame(jnp.asarray(gc), jnp.asarray(gh), eye, inv, cfg)
+    )
+    np.testing.assert_array_equal(nf, jf)
+    assert (nf[..., :3].sum(axis=-1) > 0).any()  # scene actually hit
