@@ -58,52 +58,12 @@ def sample_packed_planar(
     hmax: int,
     pages: int,
     replicate_clamp_bug: bool = True,
-    strip: int | None = 8,
 ):
-    """In-kernel bilinear sampling → 4 (bs, 128) f32 channel planes.
+    """Shared in-kernel sampling core → 4 (bs, 128) f32 channel planes.
 
     Usable from any Pallas kernel that keeps the packed stack in VMEM
     (the standalone sampler below and the fused renderer's epilogue).
-
-    ``strip``: sample in (strip, 128) sub-blocks. The row-range loop pays
-    y_span(sub-block) taps at (strip, 128) vector cost, and uv footprints
-    shrink roughly linearly with sub-block height — measured 5.36 → ~1.6 ms
-    at phong1080 with three 512² maps vs whole-(32, 128) sampling (the r2
-    rejection of (8, 128) sub-blocks predated cheap range reductions).
     """
-    bs = ps.shape[0]
-    if strip and bs > strip:
-        accs = [
-            _sample_core(
-                tex_ref, dims,
-                ps[s0 : s0 + strip], u[s0 : s0 + strip], v[s0 : s0 + strip],
-                t_count=t_count, hmax=hmax, pages=pages,
-                replicate_clamp_bug=replicate_clamp_bug,
-            )
-            for s0 in range(0, bs, strip)
-        ]
-        return tuple(
-            jnp.concatenate([a[c] for a in accs], axis=0) for c in range(4)
-        )
-    return _sample_core(
-        tex_ref, dims, ps, u, v,
-        t_count=t_count, hmax=hmax, pages=pages,
-        replicate_clamp_bug=replicate_clamp_bug,
-    )
-
-
-def _sample_core(
-    tex_ref,
-    dims,
-    ps,
-    u,
-    v,
-    *,
-    t_count: int,
-    hmax: int,
-    pages: int,
-    replicate_clamp_bug: bool = True,
-):
     shape = ps.shape
     acc = tuple(jnp.zeros(shape, jnp.float32) for _ in range(4))
     for t in range(t_count):
