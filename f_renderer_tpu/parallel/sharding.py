@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from f_renderer_tpu.pipeline.geometry import MAX_FAN, geometry_process
+from f_renderer_tpu.pipeline.types import TriangleBuffer
 from f_renderer_tpu.pipeline.raster_jnp import rasterize_jnp
 from f_renderer_tpu.pipeline.render import RenderConfig, apply_ps_boundary_quirk
 from f_renderer_tpu.pipeline.shade import shade_deferred
@@ -122,7 +123,20 @@ def render_frame_sharded(
             order_base += f_sizes[d] * MAX_FAN
             bufs.append(buf)
         tri_local = functools.reduce(lambda a, b: a.concat(b), bufs)
-        tri = jax.lax.all_gather(tri_local, "dp", axis=0, tiled=True)
+        # Gather along the slot axis — axis 0 everywhere except the planar
+        # (3C, M) ctx, whose slots live on the last axis.
+        def gather_slots(name, leaf):
+            axis = 1 if name == "ctx" else 0
+            return jax.lax.all_gather(leaf, "dp", axis=axis, tiled=True)
+
+        import dataclasses
+
+        tri = TriangleBuffer(
+            **{
+                f.name: gather_slots(f.name, getattr(tri_local, f.name))
+                for f in dataclasses.fields(tri_local)
+            }
+        )
         if config.replicate_ps_boundary_quirk:
             tri = apply_ps_boundary_quirk(tri, len(draws))
 

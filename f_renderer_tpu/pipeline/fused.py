@@ -67,7 +67,8 @@ def _phong_light_planar(nx, ny, nz, px, py, pz, view_pos, light_pos, light_color
 
 
 def _make_epilogue(
-    kind, *, t_count, hmax, pages, bg_packed, light_pos, light_color
+    kind, *, t_count, hmax, pages, bg_packed, light_pos, light_color,
+    sub_rows=None,
 ):
     from f_renderer_tpu.shaders.texture_pallas import sample_packed_planar
 
@@ -81,6 +82,7 @@ def _make_epilogue(
             return sample_packed_planar(
                 tex_ref, dims_ref, psm, u, v,
                 t_count=t_count, hmax=hmax, pages=pages,
+                sub_rows=sub_rows,
             )
 
         if kind == "flat":
@@ -162,7 +164,7 @@ def prep_fused(
         # pressure (measured 1.8× on the 1M-triangle 4K stress scene).
         th = max(th, 32)
     assert tw == LANES, "fused path requires tile width 128"
-    n_ctx = tri.ctx.shape[-1]
+    n_ctx = tri.num_channels
     binned = getattr(config, "raster_binned", True)
     if binned:
         chunk = 128
@@ -265,6 +267,7 @@ def render_fused_prepared(
         bg_packed=bg_packed,
         light_pos=light_pos,
         light_color=light_color,
+        sub_rows=getattr(config, "sampler_sub_rows", None),
     )
     deferred = bool(statics.get("deferred", False))
     # Cross-program DMA prefetch relies on scratch/semaphore state persisting

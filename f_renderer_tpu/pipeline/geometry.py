@@ -109,11 +109,11 @@ def _setup_core(
 ):
     """Winding repair + raster setup on per-vertex (N,) planes.
 
-    Coordinate args are 3-lists of (N,) planes (vertex-major); ``ctx``
-    stays (N, 3, C). Planar because (N, 3, 2)-shaped math puts the tiny
-    trailing dims on the (sublane, lane) tile — the take_along_axis
-    winding permutation alone cost ~5 ms at 1M triangles. The swap only
-    exchanges v1/v2, so it is three selects per plane, no gather.
+    Coordinate args are 3-lists of (N,) planes (vertex-major); ``ctx`` is a
+    3-list of C-lists of (N,) channel planes. Planar because (N, 3, 2)-shaped
+    math puts the tiny trailing dims on the (sublane, lane) tile — the
+    take_along_axis winding permutation alone cost ~5 ms at 1M triangles.
+    The swap only exchanges v1/v2, so it is selects per plane, no gather.
     Semantics are renderer.rs:300-320, element-for-element.
     """
     v01x = ndc_x[1] - ndc_x[0]
@@ -136,8 +136,12 @@ def _setup_core(
     spi_x, spi_y = sw(spi_x), sw(spi_y)
     spf_x, spf_y = sw(spf_x), sw(spf_y)
     rhw = sw(rhw)
-    # static permutation (slices, not a dynamic gather) under one select
-    ctx = jnp.where(swap[:, None, None], ctx[:, jnp.array([0, 2, 1]), :], ctx)
+    # v1/v2 exchange per channel plane — selects on dense (N,) arrays
+    ctx = [
+        ctx[0],
+        [jnp.where(swap, c2, c1) for c1, c2 in zip(ctx[1], ctx[2])],
+        [jnp.where(swap, c1, c2) for c1, c2 in zip(ctx[1], ctx[2])],
+    ]
 
     def tlp(ax, ay, bx, by):  # _is_top_left on planes
         return ((ay == by) & (ax < bx)) | (ay > by)
@@ -160,7 +164,9 @@ def _setup_core(
         spi=spi,
         spf=spf,
         rhw=jnp.stack(rhw, axis=1),
-        ctx=ctx,
+        ctx=jnp.stack([c for v in range(3) for c in ctx[v]], axis=0)
+        if ctx[0]
+        else jnp.zeros((0, valid.shape[0]), jnp.float32),
         top_left=tl,
         valid=valid,
         order=order.astype(jnp.int32),
@@ -170,6 +176,7 @@ def _setup_core(
 
 def _setup_triangles(ndc_xy, spf, spi, rhw, ctx, valid, order, ps_index, cull=False):
     """Stacked-layout wrapper over :func:`_setup_core` (clip-path use)."""
+    c = ctx.shape[-1]
     return _setup_core(
         [ndc_xy[:, v, 0] for v in range(3)],
         [ndc_xy[:, v, 1] for v in range(3)],
@@ -178,7 +185,7 @@ def _setup_triangles(ndc_xy, spf, spi, rhw, ctx, valid, order, ps_index, cull=Fa
         [spi[:, v, 0] for v in range(3)],
         [spi[:, v, 1] for v in range(3)],
         [rhw[:, v] for v in range(3)],
-        ctx,
+        [[ctx[:, v, ch] for ch in range(c)] for v in range(3)],
         valid,
         order,
         ps_index,
@@ -279,19 +286,22 @@ def geometry_process(
         pos, ctx = vertex_shader(vs_uniform, vin)
         return jnp.asarray(pos, jnp.float32), codec.flatten(ctx)
 
-    flat_in = jax.tree.map(
-        lambda l: jnp.asarray(l, jnp.float32).reshape((f * 3,) + l.shape[2:]),
-        vs_inputs,
-    )
-    pos, ctx = jax.vmap(vs_one)(flat_in)
+    # Run the VS once per corner over (F,) batches with out_axes=-1: pos
+    # comes out (4, F) and ctx (C, F) — dense per-component planes with the
+    # face dim on the 128-lane axis. One vmap over (F*3,) would hand back
+    # (F*3, 4)/(F*3, C) whose every per-vertex-component extraction is a
+    # strided slice over 4-/C-wide trailing dims (tile-padded, ~1/16 lane
+    # use; ~14 ms of the 1M-face stress4k geometry stage was such ops).
     c = codec.num_channels
-    pos = pos.reshape(f, 3, 4)
-    ctx = ctx.reshape(f, 3, c)
-
-    # Per-vertex-component (F,) planes: (F, 3, k)-shaped math would put
-    # the tiny trailing dims on the (sublane, lane) tile (~14 ms of the
-    # 1M-face stress4k geometry stage was the (F, 3, 6) inside-mask alone).
-    P = [[pos[:, v, c] for c in range(4)] for v in range(3)]
+    P = []  # [v][comp] → (F,) clip-position planes
+    CTXP = []  # [v][ch] → (F,) varying planes
+    for v in range(3):
+        corner = jax.tree.map(
+            lambda l: jnp.asarray(l[:, v], jnp.float32), vs_inputs
+        )
+        pos_v, ctx_v = jax.vmap(vs_one, out_axes=-1)(corner)
+        P.append([pos_v[comp] for comp in range(4)])
+        CTXP.append([ctx_v[ch] for ch in range(c)])
     w_ok = (P[0][3] != 0.0) & (P[1][3] != 0.0) & (P[2][3] != 0.0)
     all_in = None
     for v in range(3):  # _insides, planar (renderer.rs:46-58)
@@ -322,7 +332,7 @@ def geometry_process(
         spi_x.append(_f32_to_i32_sat(sx + 0.5))
         spi_y.append(_f32_to_i32_sat(sy + 0.5))
     buf_a = _setup_core(
-        ndc_x, ndc_y, spf_x, spf_y, spi_x, spi_y, rhw_p, ctx,
+        ndc_x, ndc_y, spf_x, spf_y, spi_x, spi_y, rhw_p, CTXP,
         a_valid, order_base + face_idx * MAX_FAN, ps_index, cull,
     )
 
@@ -334,14 +344,28 @@ def geometry_process(
 
     def run_clip_path(_):
         (sel,) = jnp.nonzero(b_mask, size=clip_cap, fill_value=f)
-        pos_pad = jnp.concatenate(
-            [pos, jnp.ones((1, 3, 4), jnp.float32)], axis=0
+        # Gather the few clipped faces from the planes, then stack to the
+        # small (cap, 3, 4)/(cap, 3, C) layout the per-face clipper uses —
+        # the full-F stacked arrays are never materialized. Padding slots
+        # (sel == f) clamp-gather garbage; their fan slots are masked via
+        # (sel < f) below, so garbage cannot reach the output.
+        b_pos = jnp.stack(
+            [
+                jnp.stack([P[v][comp][sel] for comp in range(4)], axis=-1)
+                for v in range(3)
+            ],
+            axis=1,
         )
-        ctx_pad = jnp.concatenate(
-            [ctx, jnp.zeros((1, 3, c), jnp.float32)], axis=0
-        )
-        b_pos = pos_pad[sel]
-        b_ctx = ctx_pad[sel]
+        if c:
+            b_ctx = jnp.stack(
+                [
+                    jnp.stack([CTXP[v][ch][sel] for ch in range(c)], axis=-1)
+                    for v in range(3)
+                ],
+                axis=1,
+            )
+        else:
+            b_ctx = jnp.zeros((clip_cap, 3, 0), jnp.float32)
         b_ndc, b_spf, b_spi, b_rhw, b_ctx_s, b_tri_valid = jax.vmap(
             _clip_face, in_axes=(0, 0, None, None)
         )(b_pos, b_ctx, width, height)

@@ -120,12 +120,12 @@ def pack_setup(
         tri.rhw[:, 1],
         tri.rhw[:, 2],
     ]
-    n_ctx = tri.ctx.shape[-1] if with_ctx else 0
-    if with_ctx:
-        for v in range(3):
-            for ch in range(n_ctx):
-                rows_f.append(tri.ctx[:, v, ch])
+    n_ctx = tri.num_channels if with_ctx else 0
     cols_f = jnp.stack(rows_f, axis=0)
+    if with_ctx and n_ctx:
+        # ctx is already (3C, M) planar in the kernel's row order
+        # (v0 ch0..C-1, v1 ..., v2 ...) — no per-channel slicing needed.
+        cols_f = jnp.concatenate([cols_f, tri.ctx], axis=0)
 
     def pad_to(rows, nf, dtype):
         out = jnp.zeros((nf, m_pad), dtype)
@@ -972,7 +972,7 @@ def rasterize_interp_pallas(
         interpret = jax.default_backend() != "tpu"
     assert chunk % 128 == 0, "chunk must be a multiple of 128"
     th, tw = tile
-    n_ctx = tri.ctx.shape[-1]
+    n_ctx = tri.num_channels
     tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep(
         tri, width, height, tile, chunk, origin, full_size, with_ctx=True
     )

@@ -59,6 +59,10 @@ class RenderConfig:
     # Override the per-tile pair-expansion cap (None = size heuristic).
     # Small values force the hierarchical coarse-bin/spill kernel paths.
     bin_k: int | None = None
+    # Fused-kernel texture sampling strip height: split the tile into
+    # (sampler_sub_rows, 128) strips, each with its own texel row/page
+    # ranges (texture_pallas.sample_packed_planar). None = whole tile.
+    sampler_sub_rows: int | None = None
 
 
 def apply_ps_boundary_quirk(tri: TriangleBuffer, num_draws: int) -> TriangleBuffer:

@@ -39,7 +39,10 @@ def interpolate_context(
     wid = jnp.maximum(winner, 0)
     spf = tri.spf[wid]  # (H, W, 3, 2)
     rhw3 = tri.rhw[wid]  # (H, W, 3)
-    ctx3 = tri.ctx[wid]  # (H, W, 3, C)
+    nc = tri.num_channels
+    ctx3 = jnp.moveaxis(
+        tri.ctx[:, wid].reshape(3, nc, h, w), (0, 1), (-2, -1)
+    )  # (H, W, 3, C)
 
     px = x0 + jnp.arange(w, dtype=jnp.float32)[None, :, None] + 0.5
     py = y0 + jnp.arange(h, dtype=jnp.float32)[:, None, None] + 0.5

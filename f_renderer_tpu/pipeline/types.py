@@ -23,7 +23,12 @@ class TriangleBuffer:
     - ``spi``: (M, 3, 2) i32 — integer screen coords (renderer.rs:233-234)
     - ``spf``: (M, 3, 2) f32 — float screen coords (renderer.rs:229-230)
     - ``rhw``: (M, 3) f32 — 1/w per vertex (renderer.rs:223)
-    - ``ctx``: (M, 3, C) f32 — flattened ShaderContext varyings
+    - ``ctx``: (3C, M) f32 — flattened ShaderContext varyings, planar
+      row-major (v0 ch0..C-1, v1 ch0..C-1, v2 ch0..C-1). Planar because M
+      must sit on the 128-lane axis: an (M, 3, C) layout puts the tiny
+      trailing dims on the (sublane, lane) tile and every slice/select over
+      it runs at a fraction of VPU width (measured ~10 ms of stress4k's
+      geometry+prep was ctx staging/slicing in the stacked layout)
     - ``top_left``: (M, 3) bool — top-left edge flags for edges 0→1, 1→2,
       2→0 (renderer.rs:318-320), computed after winding repair
     - ``valid``: (M,) bool — slot holds a real triangle
@@ -49,7 +54,22 @@ class TriangleBuffer:
 
     @property
     def num_channels(self) -> int:
-        return self.ctx.shape[-1]
+        return self.ctx.shape[0] // 3
+
+    def ctx_stacked(self) -> jnp.ndarray:
+        """ctx as (M, 3, C) — for tests / scalar comparisons, not hot paths."""
+        c = self.num_channels
+        return jnp.moveaxis(self.ctx.reshape(3, c, -1), -1, 0)
 
     def concat(self, other: "TriangleBuffer") -> "TriangleBuffer":
-        return jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), self, other)
+        # All fields are slot-major except ctx, which is (3C, M) planar.
+        return TriangleBuffer(
+            spi=jnp.concatenate([self.spi, other.spi], axis=0),
+            spf=jnp.concatenate([self.spf, other.spf], axis=0),
+            rhw=jnp.concatenate([self.rhw, other.rhw], axis=0),
+            ctx=jnp.concatenate([self.ctx, other.ctx], axis=-1),
+            top_left=jnp.concatenate([self.top_left, other.top_left], axis=0),
+            valid=jnp.concatenate([self.valid, other.valid], axis=0),
+            order=jnp.concatenate([self.order, other.order], axis=0),
+            ps_index=jnp.concatenate([self.ps_index, other.ps_index], axis=0),
+        )

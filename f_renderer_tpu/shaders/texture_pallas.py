@@ -58,12 +58,41 @@ def sample_packed_planar(
     hmax: int,
     pages: int,
     replicate_clamp_bug: bool = True,
+    sub_rows: int | None = None,
 ):
     """Shared in-kernel sampling core → 4 (bs, 128) f32 channel planes.
 
     Usable from any Pallas kernel that keeps the packed stack in VMEM
     (the standalone sampler below and the fused renderer's epilogue).
+
+    ``sub_rows``: process the block in (sub_rows, 128) horizontal strips,
+    each with its own texel row/page ranges. The texel y-loop does
+    whole-block vector work per texture row but only pixels whose v maps
+    to that row contribute — for a predominantly vertical uv gradient a
+    (32, 128) block wastes ~(block_rows/strip_span)× of the loop's VPU
+    work. Strips multiply the (cheap, ~0.15 ms/frame measured) range
+    reductions but divide each y-iteration's vector cost by bs/sub_rows.
     """
+    if sub_rows is not None and ps.shape[0] > sub_rows:
+        assert ps.shape[0] % sub_rows == 0, (ps.shape, sub_rows)
+        nb = ps.shape[0] // sub_rows
+        kw = dict(
+            t_count=t_count, hmax=hmax, pages=pages,
+            replicate_clamp_bug=replicate_clamp_bug, sub_rows=None,
+        )
+        blocks = [
+            sample_packed_planar(
+                tex_ref, dims,
+                ps[b * sub_rows : (b + 1) * sub_rows],
+                u[b * sub_rows : (b + 1) * sub_rows],
+                v[b * sub_rows : (b + 1) * sub_rows],
+                **kw,
+            )
+            for b in range(nb)
+        ]
+        return tuple(
+            jnp.concatenate([bl[c] for bl in blocks], axis=0) for c in range(4)
+        )
     shape = ps.shape
     acc = tuple(jnp.zeros(shape, jnp.float32) for _ in range(4))
     for t in range(t_count):

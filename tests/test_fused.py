@@ -15,14 +15,20 @@ from f_renderer_tpu.scene import make_cube, make_phong_scene
 def fused_vs_jnp(scene, edge_budget=0.002):
     """Fused-kernel contract vs the jnp pipeline (VERDICT r2 weak #4):
 
-    - winner ids EXACT and depth within 2 ulp — the per-pixel (rhw, order)
-      merge is the same associative lexicographic max over identical
-      triangle setup; winner mismatches are raster bugs, and depth may
-      drift only by FMA-contraction ulps between the two lowerings;
-    - frame within 1 u8 everywhere except an ``edge_budget`` fraction
-      allowed up to 2 u8 (planar rsqrt-based lighting vs the XLA path's
-      norm/sqrt differs by final-ulp transcendentals, which can round a
-      channel across two u8 steps); nothing beyond 2 u8, anywhere.
+    - winner ids EXACT and depth within 2 ulp of rasterize_jnp **on the
+      same TriangleBuffer** — the per-pixel (rhw, order) merge is the same
+      associative lexicographic max over identical triangle setup; winner
+      mismatches are raster bugs, and depth may drift only by
+      FMA-contraction ulps between the two raster lowerings. (The scene's
+      own depth is NOT the reference here: scene.render() re-runs geometry
+      in a separate jit, and XLA contraction across two compilations of
+      the same geometry math can differ by >2 ulp — that is a geometry
+      recompilation artifact, not a raster bug.)
+    - frame within 1 u8 of the jnp pipeline everywhere except an
+      ``edge_budget`` fraction allowed up to 2 u8 (planar rsqrt-based
+      lighting vs the XLA path's norm/sqrt differs by final-ulp
+      transcendentals, which can round a channel across two u8 steps);
+      nothing beyond 2 u8, anywhere.
     """
     frame_j, depth_j, _ = scene.render()
     tri, _ = build_triangles(
@@ -30,7 +36,7 @@ def fused_vs_jnp(scene, edge_budget=0.002):
     )
     from f_renderer_tpu.pipeline.raster_jnp import rasterize_jnp
 
-    winner_j, _ = rasterize_jnp(
+    winner_j, depth_jr = rasterize_jnp(
         tri, scene.config.width, scene.config.height, tile=scene.config.tile
     )
     frame_f, depth_f, winner_f = render_fused_pallas(
@@ -39,7 +45,7 @@ def fused_vs_jnp(scene, edge_budget=0.002):
     assert frame_f.shape == (scene.config.height, scene.config.width, 4)
     np.testing.assert_array_equal(np.asarray(winner_f), np.asarray(winner_j))
     np.testing.assert_allclose(
-        np.asarray(depth_f), np.asarray(depth_j), rtol=2.4e-7, atol=0.0
+        np.asarray(depth_f), np.asarray(depth_jr), rtol=2.4e-7, atol=0.0
     )
     diff = np.abs(
         np.asarray(frame_f).astype(np.int32) - np.asarray(frame_j).astype(np.int32)
@@ -83,6 +89,30 @@ def test_textured_shader():
     )
     frame = fused_vs_jnp(scene)
     assert (np.asarray(frame)[..., 0] != 30).sum() > 300
+
+
+def test_strip_sampler_exact():
+    """sampler_sub_rows only changes which (row, page) iterations run, not
+    any sampled value — strip output must be bit-identical to whole-tile."""
+    scene = make_phong_scene(
+        128, 96, meshes=[make_cube()], clip_cap=16, shader="textured"
+    )
+    scene = dataclasses.replace(
+        scene, config=dataclasses.replace(scene.config, tile=(16, 128))
+    )
+    tri, _ = build_triangles(
+        scene.draws, scene.vertex_shader, scene.vs_uniform, scene.config
+    )
+    frame_whole, _, _ = render_fused_pallas(
+        tri, scene.pixel_shader, scene.ps_uniform, scene.config, interpret=True
+    )
+    cfg8 = dataclasses.replace(scene.config, sampler_sub_rows=8)
+    frame_strip, _, _ = render_fused_pallas(
+        tri, scene.pixel_shader, scene.ps_uniform, cfg8, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(frame_strip), np.asarray(frame_whole)
+    )
 
 
 def test_coarse_bins_exact():

@@ -62,7 +62,7 @@ def extract_valid(buf):
         "spi": np.asarray(buf.spi)[idx],
         "spf": np.asarray(buf.spf)[idx],
         "rhw": np.asarray(buf.rhw)[idx],
-        "ctx": np.asarray(buf.ctx)[idx],
+        "ctx": np.asarray(buf.ctx_stacked())[idx],
         "order": np.asarray(buf.order)[idx],
     }
 
