@@ -39,8 +39,11 @@ def main():
         )
         arrays, statics = prep_fused(tri, scene.config)
         arrays = jax.tree.map(jnp.asarray, arrays)
-        for sub in (None, 16, 8):
-            cfg = dataclasses.replace(scene.config, sampler_sub_rows=sub)
+        for label, kw in (
+            ("packed", dict(sampler_unpacked=False)),
+            ("unpacked-f32", dict(sampler_unpacked=True)),
+        ):
+            cfg = dataclasses.replace(scene.config, **kw)
 
             @functools.partial(jax.jit, static_argnums=0)
             def run_n(n, arrays, cfg=cfg):
@@ -69,7 +72,7 @@ def main():
             c = int(run_n(frames, arrays))
             dt = bench._scan_timer(lambda n: int(run_n(n, arrays)), frames)
             print(
-                f"[{name}] sub_rows={sub}: {dt * 1e3:.3f} ms/frame "
+                f"[{name}] {label}: {dt * 1e3:.3f} ms/frame "
                 f"(compile {time.time() - t0:.0f}s, checksum {c})",
                 flush=True,
             )

@@ -68,9 +68,12 @@ def _phong_light_planar(nx, ny, nz, px, py, pz, view_pos, light_pos, light_color
 
 def _make_epilogue(
     kind, *, t_count, hmax, pages, bg_packed, light_pos, light_color,
-    sub_rows=None,
+    sub_rows=None, unpacked=False,
 ):
-    from f_renderer_tpu.shaders.texture_pallas import sample_packed_planar
+    from f_renderer_tpu.shaders.texture_pallas import (
+        sample_packed_planar,
+        sample_unpacked_planar,
+    )
 
     def epilogue(depth, worder, winner, ps, ctx, refs):
         uni_ref, dims_ref, tex_ref, rgba_ref, depth_ref, winner_ref = refs
@@ -79,6 +82,11 @@ def _make_epilogue(
         view_pos = (uni_ref[0], uni_ref[1], uni_ref[2])
 
         def sample(u, v):
+            if unpacked:
+                return sample_unpacked_planar(
+                    tex_ref, dims_ref, psm, u, v,
+                    t_count=t_count, hmax=hmax, pages=pages,
+                )
             return sample_packed_planar(
                 tex_ref, dims_ref, psm, u, v,
                 t_count=t_count, hmax=hmax, pages=pages,
@@ -235,11 +243,27 @@ def render_fused_prepared(
         )
 
     stack = ps_uniform.get("textures") if hasattr(ps_uniform, "get") else None
+    unpacked = False
     if stack is not None and kind in ("textured", "phong"):
-        texpk = stack.packed
         dims = stack.dims.astype(jnp.int32)
         hmax = int(stack.data.shape[1])
         pages = stack.pages
+        # Predivided f32 channel planes (16 B/texel) when they fit VMEM:
+        # the texel loop then skips the per-tap shift/and/convert/divide
+        # (texture_pallas.unpack_predivided). Bigger stacks keep the
+        # 4 B/texel packed form. The unpack runs in XLA per call (~20 µs at
+        # 3×512² — invisible next to the kernel).
+        from f_renderer_tpu.shaders.texture import UNPACKED_VMEM_BUDGET
+
+        unpacked = getattr(config, "sampler_unpacked", None)
+        if unpacked is None:
+            unpacked = stack.packed_nbytes * 4 <= UNPACKED_VMEM_BUDGET
+        if unpacked:
+            from f_renderer_tpu.shaders.texture_pallas import unpack_predivided
+
+            texpk = unpack_predivided(stack.packed)
+        else:
+            texpk = stack.packed
     else:
         texpk = jnp.zeros((1, LANES), jnp.int32)
         dims = jnp.ones((1, 2), jnp.int32)
@@ -268,6 +292,7 @@ def render_fused_prepared(
         light_pos=light_pos,
         light_color=light_color,
         sub_rows=getattr(config, "sampler_sub_rows", None),
+        unpacked=unpacked,
     )
     deferred = bool(statics.get("deferred", False))
     # Cross-program DMA prefetch relies on scratch/semaphore state persisting
