@@ -59,14 +59,11 @@ def main():
           f"max_span={span[ne].max()} pairs={span[ne][span[ne]<=8].sum()}",
           flush=True)
 
-    from f_renderer_tpu.pipeline.raster_pallas import _prep_binned
+    from f_renderer_tpu.pipeline.fused import prep_fused
 
-    f = jax.jit(
-        lambda tri: _prep_binned(tri, cfg.width, cfg.height, cfg.tile, 128, 8,
-                                 with_ctx=True)
-    )
+    f = jax.jit(lambda tri: prep_fused(tri, cfg)[0])
     c, t = timeit(f, tri)
-    print(f"prep_binned (pack+sort+gather): {t * 1e3:.2f}ms (compile {c:.0f}s)",
+    print(f"prep_fused (pack+sort+gather): {t * 1e3:.2f}ms (compile {c:.0f}s)",
           flush=True)
 
     class FakeKind:

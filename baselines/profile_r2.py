@@ -39,7 +39,7 @@ def main():
     import bench
     from f_renderer_tpu.math import set_rotate
     from f_renderer_tpu.pipeline import render_frame
-    from f_renderer_tpu.pipeline.raster_pallas import _prep_binned
+    from f_renderer_tpu.pipeline.fused import prep_fused
     from f_renderer_tpu.pipeline.render import build_triangles
 
     bench.enable_compilation_cache()
@@ -55,20 +55,18 @@ def main():
         tri, _ = build_triangles(list(draws), scene.vertex_shader, vs_u, cfg)
         return tri
 
-    k = 6 if name != "stress4k" else 4
-    th = cfg.tile[0] if name != "stress4k" else 32
-
     def stage_geometry(angle, vs_u, ps_u, draws):
         tri = tri_of(angle, vs_u, draws)
         return jnp.sum(tri.order) + jnp.sum(tri.spi)
 
     def stage_prep(angle, vs_u, ps_u, draws):
         tri = tri_of(angle, vs_u, draws)
-        bi, bf, cb, org, hp, wp = _prep_binned(
-            tri, cfg.width, cfg.height, (th, cfg.tile[1]), 128, k,
-            with_ctx=True,
+        arrays, _ = prep_fused(tri, cfg)
+        return (
+            arrays["cb"][-1]
+            + arrays["tri_i32"][0, 0]
+            + jnp.sum(arrays["origin"])
         )
-        return cb[-1] + bi[0, 0] + jnp.sum(org)
 
     def stage_full(angle, vs_u, ps_u, draws):
         model = set_rotate(jnp.asarray([0.0, 1.0, 0.0]), angle)

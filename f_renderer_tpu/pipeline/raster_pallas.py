@@ -818,36 +818,6 @@ def _make_kernel(
     return kernel
 
 
-def _prep_binned(
-    tri, width, height, tile, chunk, k, *, with_ctx, origin=(0, 0),
-    full_size=None, kc=None,
-):
-    """pack_setup + bin_pairs + pair-order gather.
-
-    ``origin=(y0, x0)`` (may be traced) renders the sub-rect of a
-    ``full_size`` frame — the sharded row-slab case: bboxes clip against the
-    full frame, bin tile ids are slab-local, pixel coords stay global via
-    the kernel's origin offset.
-    """
-    th, tw = tile
-    fh, fw = full_size if full_size is not None else (height, width)
-    h_pad = _cdiv(height, th) * th
-    w_pad = _cdiv(width, tw) * tw
-    m = tri.num_slots
-    m_pad = _cdiv(m + 1, 128) * 128  # ensure ≥1 trailing dummy (empty) slot
-    tri_i32, tri_f32 = pack_setup(tri, fw, fh, m_pad, with_ctx=with_ctx)
-    ptri, off = bin_pairs(
-        tri_i32, tile, (h_pad // th, w_pad // tw), k, chunk, m_dummy=m,
-        origin=origin, kc=k if kc is None else kc,
-    )
-    bi = tri_i32[:, ptri]
-    bf = tri_f32[:, ptri]
-    origin_arr = jnp.stack(
-        [jnp.asarray(origin[0], jnp.int32), jnp.asarray(origin[1], jnp.int32)]
-    )
-    return bi, bf, off, origin_arr, h_pad, w_pad
-
-
 def _prep(tri, width, height, tile, chunk, origin, full_size, *, with_ctx):
     th, tw = tile
     y_origin, x_origin = origin

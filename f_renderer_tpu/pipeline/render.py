@@ -59,16 +59,6 @@ class RenderConfig:
     # Override the per-tile pair-expansion cap (None = size heuristic).
     # Small values force the hierarchical coarse-bin/spill kernel paths.
     bin_k: int | None = None
-    # Fused-kernel texture sampling strip height: split the tile into
-    # (sampler_sub_rows, 128) strips, each with its own texel row/page
-    # ranges (texture_pallas.sample_packed_planar). None = whole tile.
-    # Measured SLOWER at both 8 and 16 on phong1080/textured1080 (r3 A/B:
-    # 8.4 → 10.6/11.6 ms) — kept as a knob; the default stays whole-tile.
-    sampler_sub_rows: int | None = None
-    # Fused-kernel texel storage: True = predivided f32 channel planes
-    # (16 B/texel, no per-tap unpack/divide), False = packed RGBA8
-    # (4 B/texel), None = auto by UNPACKED_VMEM_BUDGET.
-    sampler_unpacked: bool | None = None
 
 
 def apply_ps_boundary_quirk(tri: TriangleBuffer, num_draws: int) -> TriangleBuffer:

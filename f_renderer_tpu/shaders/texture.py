@@ -38,11 +38,6 @@ USE_PALLAS_SAMPLER: bool | None = None
 # XLA path (v5e has ~16 MB more-or-less free after tile working sets).
 PACKED_VMEM_BUDGET = 8 * 1024 * 1024
 
-# VMEM the predivided f32 channel planes (16 B/texel) may occupy in the
-# fused kernel; stacks past this sample from the 4 B/texel packed form
-# instead (slower texel loop, 4× the capacity). 3×512² RGBA = 12.6 MB.
-UNPACKED_VMEM_BUDGET = 13 * 1024 * 1024
-
 
 def _pallas_sampler_ok(stack, index) -> bool:
     if USE_PALLAS_SAMPLER is not None:

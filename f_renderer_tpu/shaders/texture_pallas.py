@@ -58,41 +58,20 @@ def sample_packed_planar(
     hmax: int,
     pages: int,
     replicate_clamp_bug: bool = True,
-    sub_rows: int | None = None,
 ):
     """Shared in-kernel sampling core → 4 (bs, 128) f32 channel planes.
 
     Usable from any Pallas kernel that keeps the packed stack in VMEM
     (the standalone sampler below and the fused renderer's epilogue).
 
-    ``sub_rows``: process the block in (sub_rows, 128) horizontal strips,
-    each with its own texel row/page ranges. The texel y-loop does
-    whole-block vector work per texture row but only pixels whose v maps
-    to that row contribute — for a predominantly vertical uv gradient a
-    (32, 128) block wastes ~(block_rows/strip_span)× of the loop's VPU
-    work. Strips multiply the (cheap, ~0.15 ms/frame measured) range
-    reductions but divide each y-iteration's vector cost by bs/sub_rows.
+    Two layout variants were measured SLOWER on TPU and removed (r3 A/B,
+    BASELINE.md): (sub_rows, 128) strip sampling with per-strip ranges
+    (8.4 → 10.6/11.6 ms phong1080 — uv y-span does not shrink with block
+    height on real meshes) and predivided f32 channel planes replacing the
+    per-tap unpack/divide with 4 lane gathers (13.9 ms phong1080 — the
+    12.6 MB resident stack starves VMEM; and Mosaic-vs-XLA divide
+    lowerings differ by ulps, breaking bit-parity on hardware).
     """
-    if sub_rows is not None and ps.shape[0] > sub_rows:
-        assert ps.shape[0] % sub_rows == 0, (ps.shape, sub_rows)
-        nb = ps.shape[0] // sub_rows
-        kw = dict(
-            t_count=t_count, hmax=hmax, pages=pages,
-            replicate_clamp_bug=replicate_clamp_bug, sub_rows=None,
-        )
-        blocks = [
-            sample_packed_planar(
-                tex_ref, dims,
-                ps[b * sub_rows : (b + 1) * sub_rows],
-                u[b * sub_rows : (b + 1) * sub_rows],
-                v[b * sub_rows : (b + 1) * sub_rows],
-                **kw,
-            )
-            for b in range(nb)
-        ]
-        return tuple(
-            jnp.concatenate([bl[c] for bl in blocks], axis=0) for c in range(4)
-        )
     shape = ps.shape
     acc = tuple(jnp.zeros(shape, jnp.float32) for _ in range(4))
     for t in range(t_count):
@@ -149,115 +128,6 @@ def sample_packed_planar(
                 acc[c] + w1 * _unpack_u8(g1, c) + w2 * _unpack_u8(g2, c)
                 for c in range(4)
             )
-
-        def y_body(yy, acc):
-            wy_row = jnp.where(y1 == yy, wy1, 0.0) + jnp.where(y2 == yy, wy2, 0.0)
-            if pages == 1:
-                return tap_accum(acc, base_t + yy, 0, wy_row)
-
-            def p_body(pg, acc):
-                return tap_accum(acc, base_t + yy * pages + pg, pg, wy_row)
-
-            return jax.lax.fori_loop(p_lo, p_hi + 1, p_body, acc)
-
-        acc = jax.lax.fori_loop(y_lo, y_hi + 1, y_body, acc)
-    return acc
-
-
-def unpack_predivided(packed: jnp.ndarray) -> jnp.ndarray:
-    """(NR, 128) i32 RGBA8 → (4·NR, 128) f32 channel planes, values k/255.
-
-    Built by XLA outside the kernel (one-time ~20 µs at 3×512²); the f32
-    planes let the texel loop skip the per-tap shift/and/convert/divide
-    (the measured-dominant cost of the fused sampler at 512² textures:
-    profile_r3 r3 split put the texel loops at 6.16 ms of phong1080's
-    8.6 ms kernel). Channel-major: plane c occupies rows [c·NR, (c+1)·NR).
-    """
-    nr = packed.shape[0]
-    chans = [
-        ((packed >> (8 * c)) & 0xFF).astype(jnp.float32) / 255.0
-        for c in range(4)
-    ]
-    return jnp.concatenate(chans, axis=0)
-
-
-def sample_unpacked_planar(
-    texf_ref,  # VMEM ref (4·T·Hmax·pages, 128) f32 — predivided channel planes
-    dims,  # SMEM ref (T, 2) i32 or concrete array
-    ps,  # (bs, 128) i32 — per-pixel texture id, -1 = invalid
-    u,  # (bs, 128) f32
-    v,  # (bs, 128) f32
-    *,
-    t_count: int,
-    hmax: int,
-    pages: int,
-    replicate_clamp_bug: bool = True,
-):
-    """Bilinear sampling from predivided f32 channel planes.
-
-    Loop structure and accumulation order are IDENTICAL to
-    :func:`sample_packed_planar` (bit-exact same results); only the texel
-    fetch changes — per (row, page) iteration: 4 channel-row broadcasts +
-    8 lane gathers + 8 FMAs instead of 2 gathers + 8× (shift, and,
-    convert, divide).
-    """
-    shape = ps.shape
-    nrows = t_count * hmax * pages
-    acc = tuple(jnp.zeros(shape, jnp.float32) for _ in range(4))
-    for t in range(t_count):
-        sel = ps == t
-        h_t = dims[t, 0]
-        w_t = dims[t, 1]
-        wf = w_t.astype(jnp.float32)
-        hf = h_t.astype(jnp.float32)
-        x = u * wf
-        y = v * hf
-        a = x - jnp.trunc(x)
-        b = y - jnp.trunc(y)
-        x = jnp.where(jnp.isnan(x), 0.0, x)
-        y = jnp.where(jnp.isnan(y), 0.0, y)
-        y_hi_clamp = (w_t if replicate_clamp_bug else h_t) - 1
-        x1 = jnp.clip(jnp.trunc(x), 0.0, wf - 1.0).astype(jnp.int32)
-        y1 = jnp.clip(
-            jnp.trunc(y), 0.0, y_hi_clamp.astype(jnp.float32)
-        ).astype(jnp.int32)
-        x1 = jnp.maximum(x1, 0)
-        y1 = jnp.maximum(y1, 0)
-        x2 = jnp.minimum(x1 + 1, w_t - 1)
-        y2 = jnp.minimum(y1 + 1, y_hi_clamp)
-        y1 = jnp.minimum(y1, hmax - 1)
-        y2 = jnp.minimum(y2, hmax - 1)
-        lane1 = x1 & (LANES - 1)
-        lane2 = x2 & (LANES - 1)
-        px1 = x1 >> 7
-        px2 = x2 >> 7
-        wx1 = 1.0 - a
-        wx2 = a
-        wy1 = 1.0 - b
-        wy2 = b
-
-        big = jnp.int32(2**30)
-        y_lo = jnp.clip(jnp.min(jnp.where(sel, y1, big)), 0, hmax - 1)
-        y_hi = jnp.clip(jnp.max(jnp.where(sel, y2, -1)), -1, hmax - 1)
-        if pages > 1:
-            p_lo = jnp.clip(jnp.min(jnp.where(sel, px1, big)), 0, pages - 1)
-            p_hi = jnp.clip(jnp.max(jnp.where(sel, px2, -1)), -1, pages - 1)
-        base_t = t * hmax * pages
-
-        def tap_accum(acc, row, page, wy_row):
-            m1 = sel & (px1 == page)
-            m2 = sel & (px2 == page)
-            w1 = jnp.where(m1, wx1 * wy_row, 0.0)
-            w2 = jnp.where(m2, wx2 * wy_row, 0.0)
-            out = []
-            for c in range(4):
-                trow = jnp.broadcast_to(
-                    texf_ref[pl.ds(c * nrows + row, 1), :], shape
-                )
-                g1 = jnp.take_along_axis(trow, lane1, axis=1)
-                g2 = jnp.take_along_axis(trow, lane2, axis=1)
-                out.append(acc[c] + w1 * g1 + w2 * g2)
-            return tuple(out)
 
         def y_body(yy, acc):
             wy_row = jnp.where(y1 == yy, wy1, 0.0) + jnp.where(y2 == yy, wy2, 0.0)

@@ -91,53 +91,6 @@ def test_textured_shader():
     assert (np.asarray(frame)[..., 0] != 30).sum() > 300
 
 
-def test_strip_sampler_exact():
-    """sampler_sub_rows only changes which (row, page) iterations run, not
-    any sampled value — strip output must be bit-identical to whole-tile."""
-    scene = make_phong_scene(
-        128, 96, meshes=[make_cube()], clip_cap=16, shader="textured"
-    )
-    scene = dataclasses.replace(
-        scene, config=dataclasses.replace(scene.config, tile=(16, 128))
-    )
-    tri, _ = build_triangles(
-        scene.draws, scene.vertex_shader, scene.vs_uniform, scene.config
-    )
-    frame_whole, _, _ = render_fused_pallas(
-        tri, scene.pixel_shader, scene.ps_uniform, scene.config, interpret=True
-    )
-    cfg8 = dataclasses.replace(scene.config, sampler_sub_rows=8)
-    frame_strip, _, _ = render_fused_pallas(
-        tri, scene.pixel_shader, scene.ps_uniform, cfg8, interpret=True
-    )
-    np.testing.assert_array_equal(
-        np.asarray(frame_strip), np.asarray(frame_whole)
-    )
-
-
-def test_unpacked_sampler_exact():
-    """Predivided f32 channel planes vs packed RGBA8 texel fetch: identical
-    loop structure and weights, so frames must be bit-identical."""
-    scene = make_phong_scene(
-        128, 96, meshes=[make_cube()], clip_cap=16, shader="phong"
-    )
-    scene = dataclasses.replace(
-        scene, config=dataclasses.replace(scene.config, tile=(16, 128))
-    )
-    tri, _ = build_triangles(
-        scene.draws, scene.vertex_shader, scene.vs_uniform, scene.config
-    )
-    frames = {}
-    for mode in (False, True):
-        cfg = dataclasses.replace(scene.config, sampler_unpacked=mode)
-        frames[mode], _, _ = render_fused_pallas(
-            tri, scene.pixel_shader, scene.ps_uniform, cfg, interpret=True
-        )
-    np.testing.assert_array_equal(
-        np.asarray(frames[True]), np.asarray(frames[False])
-    )
-
-
 def test_coarse_bins_exact():
     """bin_k=1 pushes most triangles through the coarse/spill kernel paths;
     output must still match the jnp pipeline exactly (associative merge)."""
