@@ -185,12 +185,15 @@ def prep_fused_packed(
     assert tw == LANES, "fused path requires tile width 128"
     chunk = 128
     # pair-expansion cap: pair tables and the bin sort scale with
-    # (k + kc) · slots; k=6 covers 3×2-fine-tile spans (the common
+    # max(k, kc) · slots; k=6 covers 3×2-fine-tile spans (the common
     # clipped-tri case), and triangles past k go to COARSE×COARSE
     # coarse bins (kc cap) before the every-tile spill bucket
     # (raster_pallas.bin_pairs). Huge scenes shrink both caps to bound
-    # the bin sort.
-    k = getattr(config, "bin_k", None) or (6 if n_slots <= 300_000 else 4)
+    # the bin sort: at 1M tris / 4K / (32,128) tiles, 97.4% of nonempty
+    # bboxes span ≤2 fine tiles (baselines/profile_prep.py), so k=2
+    # halves the sorted keys vs k=4 while sending only ~2.6% of
+    # triangles to the (bbox-gated) coarse bins.
+    k = getattr(config, "bin_k", None) or (6 if n_slots <= 300_000 else 2)
     h_pad = _cdiv(height, th) * th
     w_pad = _cdiv(width, tw) * tw
     if m_dummy is None:

@@ -48,17 +48,31 @@ ORDER_NONE = -2147483648
 
 # tri_i32 field columns
 _P0X, _P0Y, _P1X, _P1Y, _P2X, _P2Y = range(6)
-_TL01, _TL12, _TL20 = 6, 7, 8
+# 2·signed area = e01+e12+e20 (a per-triangle constant; the identity is a
+# polynomial identity over ℤ so it holds exactly in wrapped i32 too) — the
+# kernel derives e12 from it in 2 vector ops instead of 5.
+_AREA2 = 6
 _ORDER = 9
 _MINX, _MAXX, _MINY, _MAXY = 10, 11, 12, 13
 _SLOT = 14  # original TriangleBuffer slot id (winner ids index that buffer)
-_PS = 15  # ps_index (texture/draw selector) for fused-interp mode
+# bits 0..7: ps_index (texture/draw selector; ≤256 draws — asserted at
+# build); bits 8..10: the three top-left fill-rule flags (renderer.rs:26-29)
+_PS = 15
+PS_MASK = 0xFF
 NF_I = 16
 # tri_f32 field columns
 _S0X, _S0Y, _S1X, _S1Y, _S2X, _S2Y = range(6)
 _RHW0, _RHW1, _RHW2 = 6, 7, 8
 _CTX0 = 9  # fused-interp mode: 3*C varying channels, vertex-major
 NF_F = 16  # base fields padded to sublane multiple (no ctx)
+
+
+# Profiling-only knob (baselines/profile_kernel_floor.py): replaces the
+# deferred pair-loop body with a stripped variant to attribute kernel time.
+# None = production; "floor" = scalar reads only (+2 vector ops); "cover" =
+# reads + integer cover block, no f32 barycentric/depth. NEVER set in
+# production — outputs are garbage by design.
+_DEBUG_PAIR_BODY = None
 
 
 def _cdiv(a, b):
@@ -88,6 +102,16 @@ def pack_setup(
     max_x = jnp.where(valid, jnp.clip(jnp.max(sx, axis=1), 0, width), 0)
     min_y = jnp.where(valid, jnp.clip(jnp.min(sy, axis=1), 0, height), 0)
     max_y = jnp.where(valid, jnp.clip(jnp.max(sy, axis=1), 0, height), 0)
+    area2 = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
+        sy[:, 1] - sy[:, 0]
+    ) * (sx[:, 2] - sx[:, 0])
+    ps_tl = (
+        tri.ps_index.astype(jnp.int32)
+        | (tri.top_left[:, 0].astype(jnp.int32) << 8)
+        | (tri.top_left[:, 1].astype(jnp.int32) << 9)
+        | (tri.top_left[:, 2].astype(jnp.int32) << 10)
+    )
+    zero_m = jnp.zeros((m,), jnp.int32)
     cols_i = jnp.stack(
         [
             sx[:, 0],
@@ -96,16 +120,16 @@ def pack_setup(
             sy[:, 1],
             sx[:, 2],
             sy[:, 2],
-            tri.top_left[:, 0].astype(jnp.int32),
-            tri.top_left[:, 1].astype(jnp.int32),
-            tri.top_left[:, 2].astype(jnp.int32),
+            area2,
+            zero_m,
+            zero_m,
             tri.order,
             min_x,
             max_x,
             min_y,
             max_y,
             jnp.arange(m, dtype=jnp.int32),
-            tri.ps_index.astype(jnp.int32),
+            ps_tl,
         ],
         axis=0,
     )
@@ -358,30 +382,32 @@ def _make_kernel(
             ungated = not binned if gated is None else not gated
 
             def tri_body(t, carry):
-                minx = read_i(_MINX, t)
                 maxx = read_i(_MAXX, t)
-                miny = read_i(_MINY, t)
                 maxy = read_i(_MAXY, t)
                 if ungated:
                     # Exact per-tile lists: every pair in range belongs here
-                    # (boundary bleed is masked by in_bbox/cover); a scalar
+                    # (boundary bleed is masked by the cover tests); a scalar
                     # cond would cost more than it saves — its carry is ~12
-                    # vector registers copied per skipped triangle.
-                    return _tri_vector_work(t, minx, maxx, miny, maxy, carry)
+                    # vector registers copied per skipped triangle (and the
+                    # r3 per-strip-cond experiment measured 417 vs 372 ms on
+                    # stress4k: per-pair scalar branches are not cheap).
+                    return _tri_vector_work(t, maxx, maxy, carry)
                 # Chunk-scan mode: most triangles in a DMA'd chunk miss this
-                # tile; skipping their vector work (~70 VPU ops on the whole
+                # tile; skipping their vector work (~60 VPU ops on the whole
                 # tile) behind one scalar test is the main throughput lever.
+                minx = read_i(_MINX, t)
+                miny = read_i(_MINY, t)
                 hit = (
                     (minx < ox + tw) & (maxx > ox) & (miny < oy + th) & (maxy > oy)
                 )
                 return jax.lax.cond(
                     hit,
-                    lambda c: _tri_vector_work(t, minx, maxx, miny, maxy, c),
+                    lambda c: _tri_vector_work(t, maxx, maxy, c),
                     lambda c: c,
                     carry,
                 )
 
-            def _tri_vector_work(t, minx, maxx, miny, maxy, carry):
+            def _tri_vector_work(t, maxx, maxy, carry):
                 if deferred:
                     depth, worder, wpair = carry
                 elif n_ctx:
@@ -395,20 +421,56 @@ def _make_kernel(
                 def f32f(col):
                     return read_f(col, t)
 
-                in_bbox = (cx >= minx) & (cx < maxx) & (cy >= miny) & (cy < maxy)
-
+                psf = i32f(_PS)
+                thr01 = 1 - ((psf >> 8) & 1)
+                thr12 = 1 - ((psf >> 9) & 1)
+                thr20 = 1 - ((psf >> 10) & 1)
                 p0x, p0y = i32f(_P0X), i32f(_P0Y)
                 p1x, p1y = i32f(_P1X), i32f(_P1Y)
                 p2x, p2y = i32f(_P2X), i32f(_P2Y)
+                if _DEBUG_PAIR_BODY == "floor" and deferred:
+                    si = (
+                        p0x + p0y + p1x + p1y + p2x + p2y
+                        + i32f(_AREA2) + i32f(_ORDER) + psf
+                    )
+                    sf = (
+                        f32f(_S0X) + f32f(_S0Y) + f32f(_S1X) + f32f(_S1Y)
+                        + f32f(_S2X) + f32f(_S2Y)
+                        + f32f(_RHW0) + f32f(_RHW1) + f32f(_RHW2)
+                    )
+                    bump = sf * 1e-38 + si.astype(jnp.float32) * 1e-38 - 3e38
+                    return jnp.maximum(depth, bump), worder, wpair
                 e01 = -(cx - p0x) * (p1y - p0y) + (cy - p0y) * (p1x - p0x)
-                e12 = -(cx - p1x) * (p2y - p1y) + (cy - p1y) * (p2x - p1x)
                 e20 = -(cx - p2x) * (p0y - p2y) + (cy - p2y) * (p0x - p2x)
+                # e01+e12+e20 = 2·area — exact under i32 wrap, so e12 costs
+                # 2 vector ops instead of 5.
+                e12 = i32f(_AREA2) - e01 - e20
                 cover = (
-                    in_bbox
-                    & (e01 >= 1 - i32f(_TL01))
-                    & (e12 >= 1 - i32f(_TL12))
-                    & (e20 >= 1 - i32f(_TL20))
+                    (e01 >= thr01)
+                    & (e12 >= thr12)
+                    & (e20 >= thr20)
+                    # Only the EXCLUSIVE bbox max (renderer.rs:322-324) needs
+                    # explicit tests: a pixel passing all three edge tests
+                    # lies in the hull of the rounded spi, so cx >= minx and
+                    # cy >= miny (and the screen clamp) are implied.
+                    & (cx < maxx)
+                    & (cy < maxy)
                 )
+                if _DEBUG_PAIR_BODY == "cover" and deferred:
+                    sf = (
+                        f32f(_S0X) + f32f(_S0Y) + f32f(_S1X) + f32f(_S1Y)
+                        + f32f(_S2X) + f32f(_S2Y)
+                        + f32f(_RHW0) + f32f(_RHW1) + f32f(_RHW2)
+                    )
+                    depth = jnp.maximum(
+                        depth, jnp.where(cover, sf * 1e-38 - 3e38, -3e38)
+                    )
+                    worder = jnp.where(
+                        cover,
+                        jnp.maximum(worder, i32f(_ORDER) - 2**30),
+                        worder,
+                    )
+                    return depth, worder, wpair
 
                 s0x = f32f(_S0X) - pcx
                 s0y = f32f(_S0Y) - pcy
@@ -457,7 +519,7 @@ def _make_kernel(
                 ctx = [
                     jnp.where(accept, new_ctx[ch], ctx[ch]) for ch in range(n_ctx)
                 ]
-                ps = jnp.where(accept, i32f(_PS), ps)
+                ps = jnp.where(accept, psf & PS_MASK, ps)
                 return depth, worder, winner, ps, ctx
 
             return tri_body
@@ -574,7 +636,7 @@ def _make_kernel(
                 for ch in range(n_ctx)
             ]
             winner = jnp.where(mask, id_base + gi(_SLOT - 8), winner)
-            ps = jnp.where(mask, gi(_PS - 8), ps)
+            ps = jnp.where(mask, gi(_PS - 8) & PS_MASK, ps)
             return winner, ps, ctx
 
         if binned:

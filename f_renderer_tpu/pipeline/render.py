@@ -96,6 +96,9 @@ def build_triangles(
     config: RenderConfig,
 ):
     """Geometry stage over all draws → one TriangleBuffer + stats."""
+    # ps_index shares its packed i32 field with the top-left flags in the
+    # pallas raster setup (raster_pallas._PS, bits 8..10).
+    assert len(draws) <= 256, "at most 256 draws per frame"
     bufs = []
     order_base = 0
     num_clipped = jnp.int32(0)
