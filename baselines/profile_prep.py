@@ -38,10 +38,16 @@ def main():
     cfg = scene.config
     draws = tuple(scene.draws)
 
-    def tri_of(angle, vs_u):
+    draws_d = jax.device_put(draws)
+    vs_u_d = jax.device_put(scene.vs_uniform)
+
+    def tri_of(angle, vs_u, draws=None):
         model = set_rotate(jnp.asarray([0.0, 1.0, 0.0]), angle)
         vs_u = dict(vs_u, model=model)
-        tri, _ = build_triangles(list(draws), scene.vertex_shader, vs_u, cfg)
+        tri, _ = build_triangles(
+            list(draws if draws is not None else draws_d),
+            scene.vertex_shader, vs_u, cfg,
+        )
         return tri
 
     # ---- host-side span histogram (one frame) ----
@@ -68,21 +74,21 @@ def main():
     w_pad = _cdiv(cfg.width, tw) * tw
     grid = (h_pad // th, w_pad // tw)
 
-    def stage_pack(angle, vs_u):
-        tri = tri_of(angle, vs_u)
+    def stage_pack(angle, vs_u, draws):
+        tri = tri_of(angle, vs_u, draws)
         ti, tf = pack_fused(tri, cfg)
         return ti[0, 0] + ti[_MAXX, -1] + tf[0, 0].astype(jnp.int32)
 
-    def stage_bin(angle, vs_u):
-        tri = tri_of(angle, vs_u)
+    def stage_bin(angle, vs_u, draws):
+        tri = tri_of(angle, vs_u, draws)
         ti, tf = pack_fused(tri, cfg)
         ptri, off = bin_pairs(
             ti, (th, tw), grid, k, 128, m_dummy=tri.num_slots, kc=k
         )
         return ptri[0] + off[-1] + tf[0, 0].astype(jnp.int32)
 
-    def stage_full(angle, vs_u):
-        tri = tri_of(angle, vs_u)
+    def stage_full(angle, vs_u, draws):
+        tri = tri_of(angle, vs_u, draws)
         arrays, _ = prep_fused(tri, cfg)
         return (
             arrays["cb"][-1]
@@ -90,8 +96,8 @@ def main():
             + arrays["tri_f32"][0, 0].astype(jnp.int32)
         )
 
-    def stage_geom(angle, vs_u):
-        tri = tri_of(angle, vs_u)
+    def stage_geom(angle, vs_u, draws):
+        tri = tri_of(angle, vs_u, draws)
         return tri.order[0] + tri.spi[0, 0, 0]
 
     results = {}
@@ -102,23 +108,24 @@ def main():
         ("prep_full", stage_full),
     ]:
         @functools.partial(jax.jit, static_argnums=0)
-        def run_n(n, vs_u, stage=stage):
+        def run_n(n, vs_u, draws, stage=stage):
             def body(c, i):
                 a = 0.1 + 0.05 * i.astype(jnp.float32)
-                return c + stage(a, vs_u), None
+                return c + stage(a, vs_u, draws), None
             out, _ = jax.lax.scan(
                 body, jnp.int32(0), jnp.arange(n, dtype=jnp.int32)
             )
             return out
 
         t0 = time.time()
-        jax.block_until_ready(run_n(frames, scene.vs_uniform))
+        jax.block_until_ready(run_n(frames, vs_u_d, draws_d))
         c = time.time() - t0
+        jax.block_until_ready(run_n(2 * frames, vs_u_d, draws_d))  # warm 2N (avoid timing its compile)
         t0 = time.time()
-        jax.block_until_ready(run_n(frames, scene.vs_uniform))
+        jax.block_until_ready(run_n(frames, vs_u_d, draws_d))
         w1 = time.time() - t0
         t0 = time.time()
-        jax.block_until_ready(run_n(2 * frames, scene.vs_uniform))
+        jax.block_until_ready(run_n(2 * frames, vs_u_d, draws_d))
         w2 = time.time() - t0
         per = max((w2 - w1) / frames, w2 / (4 * frames), 1e-7)
         results[sname] = per
