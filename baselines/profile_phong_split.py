@@ -83,14 +83,14 @@ def main():
             return out
 
         t0 = time.time()
-        jax.block_until_ready(run_n(frames, vs_u_d, ps_u_d, draws_d))
+        int(run_n(frames, vs_u_d, ps_u_d, draws_d))
         c = time.time() - t0
-        jax.block_until_ready(run_n(2 * frames, vs_u_d, ps_u_d, draws_d))  # warm 2N (avoid timing its compile)
+        int(run_n(2 * frames, vs_u_d, ps_u_d, draws_d))  # warm 2N (avoid timing its compile)
         t0 = time.time()
-        jax.block_until_ready(run_n(frames, vs_u_d, ps_u_d, draws_d))
+        int(run_n(frames, vs_u_d, ps_u_d, draws_d))
         w1 = time.time() - t0
         t0 = time.time()
-        jax.block_until_ready(run_n(2 * frames, vs_u_d, ps_u_d, draws_d))
+        int(run_n(2 * frames, vs_u_d, ps_u_d, draws_d))
         w2 = time.time() - t0
         per = max((w2 - w1) / frames, w2 / (4 * frames), 1e-7)
         print(f"[{label}] {per * 1e3:.2f} ms/frame (compile+first {c:.0f}s)",

@@ -1,18 +1,17 @@
-"""Attribute the stress4k fused-kernel time: pair-loop floor vs vector work.
+"""A/B the stress4k fused render across tile heights on TPU.
 
-Renders the stress4k config three times with raster_pallas._DEBUG_PAIR_BODY
-set to None (production), "cover" (reads + integer cover, no f32 block) and
-"floor" (scalar reads only). Differences attribute the pair loop:
+The stress kernel is bound by per-pair scalar/loop cost more than vector
+math (profile_kernel_floor: removing the whole f32 barycentric block saved
+only ~54 ms of ~350). Taller tiles cut PAIRS (bbox h p50=8px: span(th=64)
+≈ 1.13 vs 1.28 at th=32) and halve chunk-visits/deferred updates, at 2×
+the per-op vector cost — worth measuring, not modeling.
 
-  full - cover  = f32 barycentric/depth/accept block
-  cover - floor = integer cover block
-  floor         = per-pair reads+loop + chunk DMA + deferred update + epilogue
-
-Usage: PROFILE_FRAMES=4 python baselines/profile_kernel_floor.py
+Usage: PROFILE_FRAMES=4 python baselines/profile_stress_tiles.py
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 import sys
@@ -28,24 +27,18 @@ def main():
     import bench
     from f_renderer_tpu.math import set_rotate
     from f_renderer_tpu.pipeline import render_frame
-    from f_renderer_tpu.pipeline import raster_pallas
 
     bench.enable_compilation_cache()
     frames = int(os.environ.get("PROFILE_FRAMES", "4"))
-    name = os.environ.get("PROFILE_CONFIG", "stress4k")
-    scene = bench.build_scene(name, backend="pallas")
-    cfg = scene.config
-    draws = tuple(scene.draws)
-
-    # Stage all scene inputs to the device OUTSIDE the timed lambdas
-    # (closed-over numpy constants re-ship over the tunnel per dispatch —
-    # the CLAUDE.md staging trap; measured 23 s/frame of phantom time).
-    draws_d = jax.device_put(draws)
+    scene = bench.build_scene("stress4k", backend="pallas")
+    draws_d = jax.device_put(tuple(scene.draws))
     vs_u_d = jax.device_put(scene.vs_uniform)
     ps_u_d = jax.device_put(scene.ps_uniform)
 
-    for mode in (None, "cover", "floor"):
-        raster_pallas._DEBUG_PAIR_BODY = mode
+    for th in (32, 64):
+        cfg = dataclasses.replace(
+            scene.config, tile=(th, 128), tile_auto=False
+        )
 
         def frame_of(angle, vs_u, ps_u, draws):
             model = set_rotate(jnp.asarray([0.0, 1.0, 0.0]), angle)
@@ -67,9 +60,9 @@ def main():
             return out
 
         t0 = time.time()
-        int(run_n(frames, vs_u_d, ps_u_d, draws_d))
+        chk = int(run_n(frames, vs_u_d, ps_u_d, draws_d))
         c = time.time() - t0
-        int(run_n(2 * frames, vs_u_d, ps_u_d, draws_d))  # warm 2N (avoid timing its compile)
+        int(run_n(2 * frames, vs_u_d, ps_u_d, draws_d))  # warm 2N
         t0 = time.time()
         int(run_n(frames, vs_u_d, ps_u_d, draws_d))
         w1 = time.time() - t0
@@ -77,9 +70,11 @@ def main():
         int(run_n(2 * frames, vs_u_d, ps_u_d, draws_d))
         w2 = time.time() - t0
         per = max((w2 - w1) / frames, w2 / (4 * frames), 1e-7)
-        print(f"[body={mode}] {per * 1e3:.2f} ms/frame (compile+first {c:.0f}s)",
-              flush=True)
-    raster_pallas._DEBUG_PAIR_BODY = None
+        print(
+            f"[th={th}] {per * 1e3:.2f} ms/frame checksum={chk} "
+            f"(compile+first {c:.0f}s)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

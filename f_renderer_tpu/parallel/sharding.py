@@ -71,13 +71,15 @@ def _pad_faces(vs_inputs, multiple: int):
     return jax.tree.map(pad_leaf, vs_inputs), f + pad
 
 
-def _ps_boundary_quirk_sharded(tri_local, num_draws: int):
+def _ps_boundary_quirk_sharded(tri_local, num_draws: int, slot_ranges):
     """render.apply_ps_boundary_quirk on dp-sharded slots.
 
     The quirk patches the globally-first triangle of each draw
     (phong.rs:364-370 inclusive `<=` boundaries); per-draw counts and
-    min-order become psum/pmin collectives over "dp", then each shard
-    patches only slots it owns. Exact: order ids are globally unique.
+    min-order are O(slots) static-slice reductions over the local
+    contiguous draw spans (``slot_ranges``), psum/pmin-reduced over "dp";
+    each shard then patches only slots it owns. Exact: order ids are
+    globally unique.
     """
     import dataclasses
 
@@ -87,25 +89,24 @@ def _ps_boundary_quirk_sharded(tri_local, num_draws: int):
 
     if num_draws <= 1:
         return tri_local
-    d_ids = jnp.arange(num_draws, dtype=jnp.int32)
     valid = tri_local.valid
-    counts = jax.vmap(
-        lambda d: jnp.sum(valid & (tri_local.ps_index == d)).astype(jnp.int32)
-    )(d_ids)
-    counts = jax.lax.psum(counts, "dp")
+    counts, mins = [], []
+    for lo, hi in slot_ranges:
+        v = valid[lo:hi]
+        counts.append(jnp.sum(v).astype(jnp.int32))
+        mins.append(jnp.min(jnp.where(v, tri_local.order[lo:hi], I32_MAX)))
+    counts = jax.lax.psum(jnp.stack(counts), "dp")
+    mins = jax.lax.pmin(jnp.stack(mins), "dp")
     offsets = jnp.cumsum(counts)
     start = jnp.concatenate([jnp.zeros((1,), jnp.int32), offsets[:-1]])
     target = jnp.searchsorted(offsets, start, side="left").astype(jnp.int32)
-    order_masked = jnp.where(valid, tri_local.order, I32_MAX)
-    min_order = jax.vmap(
-        lambda d: jnp.min(
-            jnp.where(tri_local.ps_index == d, order_masked, I32_MAX)
-        )
-    )(d_ids)
-    min_order = jax.lax.pmin(min_order, "dp")
-    is_first = valid & (tri_local.order == min_order[tri_local.ps_index])
-    new_ps = jnp.where(is_first, target[tri_local.ps_index], tri_local.ps_index)
-    return dataclasses.replace(tri_local, ps_index=new_ps)
+    segs = []
+    for d, (lo, hi) in enumerate(slot_ranges):
+        is_first = valid[lo:hi] & (tri_local.order[lo:hi] == mins[d])
+        segs.append(jnp.where(is_first, target[d], tri_local.ps_index[lo:hi]))
+    return dataclasses.replace(
+        tri_local, ps_index=jnp.concatenate(segs)
+    )
 
 
 def render_frame_sharded(
@@ -161,7 +162,14 @@ def render_frame_sharded(
             bufs.append(buf)
         tri_local = functools.reduce(lambda a, b: a.concat(b), bufs)
         if config.replicate_ps_boundary_quirk:
-            tri_local = _ps_boundary_quirk_sharded(tri_local, len(draws))
+            ranges = []
+            lo = 0
+            for b in bufs:
+                ranges.append((lo, lo + b.num_slots))
+                lo += b.num_slots
+            tri_local = _ps_boundary_quirk_sharded(
+                tri_local, len(draws), ranges
+            )
         lin = dp * n_sp + sp
         y0 = lin * slab
         from f_renderer_tpu.pipeline.fused import fused_path_ok

@@ -67,6 +67,7 @@ def _phong_light_planar(nx, ny, nz, px, py, pz, view_pos, light_pos, light_color
 
 def _make_epilogue(
     kind, *, t_count, hmax, pages, bg_packed, light_pos, light_color,
+    opaque=False,
 ):
     from f_renderer_tpu.shaders.texture_pallas import sample_packed_planar
 
@@ -79,7 +80,7 @@ def _make_epilogue(
         def sample(u, v):
             return sample_packed_planar(
                 tex_ref, dims_ref, psm, u, v,
-                t_count=t_count, hmax=hmax, pages=pages,
+                t_count=t_count, hmax=hmax, pages=pages, opaque=opaque,
             )
 
         if kind == "flat":
@@ -307,11 +308,13 @@ def render_fused_prepared(
         dims = stack.dims.astype(jnp.int32)
         hmax = int(stack.data.shape[1])
         pages = stack.pages
+        opaque = bool(getattr(stack, "opaque", False))
     else:
         texpk = jnp.zeros((1, LANES), jnp.int32)
         dims = jnp.ones((1, 2), jnp.int32)
         hmax = 1
         pages = 1
+        opaque = False
     t_count = dims.shape[0]
 
     view_pos = ps_uniform.get("view_pos") if hasattr(ps_uniform, "get") else None
@@ -334,6 +337,7 @@ def render_fused_prepared(
         bg_packed=bg_packed,
         light_pos=light_pos,
         light_color=light_color,
+        opaque=opaque,
     )
     deferred = bool(statics.get("deferred", False))
     # Cross-program DMA prefetch relies on scratch/semaphore state persisting

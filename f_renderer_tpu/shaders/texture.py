@@ -67,6 +67,12 @@ class TextureStack:
     data: jnp.ndarray  # (T, Hmax, Wmax, 4) f32 in [0,1], u8-backed
     dims: jnp.ndarray  # (T, 2) i32 — (height, width) per texture
     packed: jnp.ndarray  # (T·Hmax·pages, 128) i32 — RGBA8 packed, x paged
+    # Static: every real texel's alpha is 255 (the common case — image
+    # diffuse maps). Lets the pallas sampler accumulate alpha as the plain
+    # weight sum (exactly w·1.0 per tap) instead of unpacking the byte.
+    opaque: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def pages(self) -> int:
@@ -106,6 +112,7 @@ class TextureStack:
             data=jnp.asarray(data, dtype),
             dims=jnp.asarray(dims),
             packed=jnp.asarray(pack_rgba8(q)),
+            opaque=all(bool((t[..., 3] == 255).all()) for t in texq),
         )
 
     @staticmethod
@@ -115,10 +122,16 @@ class TextureStack:
         q = np.clip(
             np.round(np.asarray(data, np.float32) * 255.0), 0, 255
         ).astype(np.uint8)
+        dims = np.asarray(dims, np.int32)
+        opaque = all(
+            bool((q[i, : dims[i, 0], : dims[i, 1], 3] == 255).all())
+            for i in range(q.shape[0])
+        )
         return TextureStack(
             data=jnp.asarray(data, jnp.float32),
-            dims=jnp.asarray(np.asarray(dims, np.int32)),
+            dims=jnp.asarray(dims),
             packed=jnp.asarray(pack_rgba8(q)),
+            opaque=opaque,
         )
 
     def sample(self, index, uv, *, replicate_clamp_bug: bool = True):
@@ -148,6 +161,7 @@ class TextureStack:
                 hmax=int(self.data.shape[1]),
                 pages=self.pages,
                 replicate_clamp_bug=replicate_clamp_bug,
+                opaque=self.opaque,
             )
         h = jnp.int32(0)
         w = jnp.int32(0)

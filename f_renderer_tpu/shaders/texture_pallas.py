@@ -47,6 +47,12 @@ def _unpack_u8(g, c):
     return ((g >> (8 * c)) & 0xFF).astype(jnp.float32) / 255.0
 
 
+def _unpack_u8_raw(g, c):
+    """Channel c of packed RGBA8 i32 → f32 in [0, 255] (the /255 is
+    deferred to one multiply on the accumulated planes)."""
+    return ((g >> (8 * c)) & 0xFF).astype(jnp.float32)
+
+
 def sample_packed_planar(
     tex_ref,  # VMEM ref (T·Hmax·pages, 128) i32 — packed stack
     dims,  # SMEM ref (T, 2) i32 or concrete array
@@ -58,11 +64,21 @@ def sample_packed_planar(
     hmax: int,
     pages: int,
     replicate_clamp_bug: bool = True,
+    opaque: bool = False,
 ):
     """Shared in-kernel sampling core → 4 (bs, 128) f32 channel planes.
 
     Usable from any Pallas kernel that keeps the packed stack in VMEM
     (the standalone sampler below and the fused renderer's epilogue).
+
+    The texel (row, page) loop is the measured phong1080 hot spot
+    (~3.7 ms of the 8.1 ms frame at 3×512², profile_phong_split), so its
+    body is dieted: sel folds into the x-weights once per texture instead
+    of two mask ops per tap; the /255 is deferred to one multiply per
+    plane after the loop (an accumulation-order change of last-ulp size —
+    within the fused-vs-jnp and golden budgets); with ``opaque`` (every
+    real texel alpha = 255, a static TextureStack flag) alpha accumulates
+    as the plain weight sum, exactly w·1.0 per tap.
 
     Two layout variants were measured SLOWER on TPU and removed (r3 A/B,
     BASELINE.md): (sub_rows, 128) strip sampling with per-strip ranges
@@ -82,10 +98,13 @@ def sample_packed_planar(
         hf = h_t.astype(jnp.float32)
         x = u * wf
         y = v * hf
-        a = x - jnp.trunc(x)
-        b = y - jnp.trunc(y)
+        # NaN-guard BEFORE the fracts: the hoisted sel-masked x-weights
+        # must not carry NaN through masked pixels (NaN · 0 = NaN). Valid
+        # pixels are untouched — their x/y are never NaN.
         x = jnp.where(jnp.isnan(x), 0.0, x)
         y = jnp.where(jnp.isnan(y), 0.0, y)
+        a = x - jnp.trunc(x)
+        b = y - jnp.trunc(y)
         y_hi_clamp = (w_t if replicate_clamp_bug else h_t) - 1
         x1 = jnp.clip(jnp.trunc(x), 0.0, wf - 1.0).astype(jnp.int32)
         y1 = jnp.clip(
@@ -103,8 +122,9 @@ def sample_packed_planar(
         lane2 = x2 & (LANES - 1)
         px1 = x1 >> 7
         px2 = x2 >> 7
-        wx1 = 1.0 - a
-        wx2 = a
+        # sel folded into the x-weights once per texture (not per tap).
+        wx1 = jnp.where(sel, 1.0 - a, 0.0)
+        wx2 = jnp.where(sel, a, 0.0)
         wy1 = 1.0 - b
         wy2 = b
 
@@ -120,14 +140,25 @@ def sample_packed_planar(
             trow = jnp.broadcast_to(tex_ref[pl.ds(row, 1), :], shape)
             g1 = jnp.take_along_axis(trow, lane1, axis=1)
             g2 = jnp.take_along_axis(trow, lane2, axis=1)
-            m1 = sel & (px1 == page)
-            m2 = sel & (px2 == page)
-            w1 = jnp.where(m1, wx1 * wy_row, 0.0)
-            w2 = jnp.where(m2, wx2 * wy_row, 0.0)
-            return tuple(
-                acc[c] + w1 * _unpack_u8(g1, c) + w2 * _unpack_u8(g2, c)
-                for c in range(4)
-            )
+            if pages > 1:
+                w1 = jnp.where(px1 == page, wx1, 0.0) * wy_row
+                w2 = jnp.where(px2 == page, wx2, 0.0) * wy_row
+            else:
+                w1 = wx1 * wy_row
+                w2 = wx2 * wy_row
+            out = [
+                acc[c] + w1 * _unpack_u8_raw(g1, c) + w2 * _unpack_u8_raw(g2, c)
+                for c in range(3)
+            ]
+            if opaque:
+                out.append(acc[3] + (w1 + w2))
+            else:
+                out.append(
+                    acc[3]
+                    + w1 * _unpack_u8_raw(g1, 3)
+                    + w2 * _unpack_u8_raw(g2, 3)
+                )
+            return tuple(out)
 
         def y_body(yy, acc):
             wy_row = jnp.where(y1 == yy, wy1, 0.0) + jnp.where(y2 == yy, wy2, 0.0)
@@ -140,7 +171,13 @@ def sample_packed_planar(
             return jax.lax.fori_loop(p_lo, p_hi + 1, p_body, acc)
 
         acc = jax.lax.fori_loop(y_lo, y_hi + 1, y_body, acc)
-    return acc
+    # One correctly-rounded division per plane (not a reciprocal multiply).
+    return (
+        acc[0] / 255.0,
+        acc[1] / 255.0,
+        acc[2] / 255.0,
+        acc[3] if opaque else acc[3] / 255.0,
+    )
 
 
 def _sample_kernel(
@@ -155,6 +192,7 @@ def _sample_kernel(
     hmax: int,
     pages: int,
     replicate_clamp_bug: bool,
+    opaque: bool,
 ):
     acc = sample_packed_planar(
         tex_ref,
@@ -166,6 +204,7 @@ def _sample_kernel(
         hmax=hmax,
         pages=pages,
         replicate_clamp_bug=replicate_clamp_bug,
+        opaque=opaque,
     )
     for c in range(4):
         out_ref[c] = acc[c]
@@ -182,6 +221,7 @@ def sample_bilinear_pallas(
     block: int = 8,
     replicate_clamp_bug: bool = True,
     interpret: bool = False,
+    opaque: bool = False,
 ):
     """Bilinear-sample the packed stack at batched (index, uv) → (..., 4) f32.
 
@@ -214,6 +254,7 @@ def sample_bilinear_pallas(
         hmax=hmax,
         pages=pages,
         replicate_clamp_bug=replicate_clamp_bug,
+        opaque=opaque,
     )
     out = pl.pallas_call(
         kernel,
