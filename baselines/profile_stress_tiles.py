@@ -6,7 +6,8 @@ only ~54 ms of ~350). Taller tiles cut PAIRS (bbox h p50=8px: span(th=64)
 ≈ 1.13 vs 1.28 at th=32) and halve chunk-visits/deferred updates, at 2×
 the per-op vector cost — worth measuring, not modeling.
 
-Usage: PROFILE_FRAMES=4 python baselines/profile_stress_tiles.py
+Usage: PROFILE_CONFIG=stress4k PROFILE_THS=32,64 PROFILE_FRAMES=4 \
+    python baselines/profile_stress_tiles.py
 """
 
 from __future__ import annotations
@@ -30,12 +31,16 @@ def main():
 
     bench.enable_compilation_cache()
     frames = int(os.environ.get("PROFILE_FRAMES", "4"))
-    scene = bench.build_scene("stress4k", backend="pallas")
+    name = os.environ.get("PROFILE_CONFIG", "stress4k")
+    ths = tuple(
+        int(x) for x in os.environ.get("PROFILE_THS", "32,64").split(",")
+    )
+    scene = bench.build_scene(name, backend="pallas")
     draws_d = jax.device_put(tuple(scene.draws))
     vs_u_d = jax.device_put(scene.vs_uniform)
     ps_u_d = jax.device_put(scene.ps_uniform)
 
-    for th in (32, 64):
+    for th in ths:
         cfg = dataclasses.replace(
             scene.config, tile=(th, 128), tile_auto=False
         )

@@ -180,9 +180,10 @@ def prep_fused_packed(
     th, tw = config.tile
     tile_auto_threshold = getattr(config, "tile_auto_threshold", 300_000)
     if getattr(config, "tile_auto", True) and n_slots > tile_auto_threshold:
-        # Huge scenes: taller tiles quarter the pair-table size and spill
-        # pressure (measured 1.8× on the 1M-triangle 4K stress scene).
-        th = max(th, 32)
+        # Huge scenes: taller tiles shrink the pair table and halve chunk
+        # visits (r2: 16->32 measured 1.8x; r3 paired A/B: 64 beats 32,
+        # 334 vs 349 ms on the 1M-tri stress scene).
+        th = max(th, 64)
     assert tw == LANES, "fused path requires tile width 128"
     chunk = 128
     # pair-expansion cap: pair tables and the bin sort scale with
@@ -214,7 +215,11 @@ def prep_fused_packed(
         h_pad=h_pad, w_pad=w_pad, height=height, width=width,
         # Chunk-deferred varying interpolation (raster_pallas._make_kernel
         # docstring) needs the 128-lane in-chunk gather: chunk == tw.
-        deferred=bool(n_ctx and chunk == tw),
+        deferred=bool(
+            n_ctx
+            and chunk == tw
+            and getattr(config, "deferred_interp", None) is not False
+        ),
     )
     return arrays, statics
 

@@ -53,9 +53,15 @@ class RenderConfig:
     cull_backfaces: bool = False
     # Let the fused kernel pick a taller tile for huge triangle counts.
     tile_auto: bool = True
-    # Slot count above which tile_auto switches to 32-row tiles (exposed so
-    # tests can force the tall-tile path at small scene sizes).
+    # Slot count above which tile_auto switches to 64-row tiles (exposed so
+    # tests can force the tall-tile path at small scene sizes). 64 measured
+    # faster than 32 on the 1M-tri stress scene (334 vs 349 ms paired A/B,
+    # r3) — fewer pairs (bbox h p50 = 8 px) and half the chunk visits.
     tile_auto_threshold: int = 300_000
+    # Chunk-deferred varying interpolation in the fused kernel (None =
+    # auto: on whenever the kernel carries ctx channels). Exposed for
+    # paired A/B profiling (baselines/profile_deferred.py).
+    deferred_interp: bool | None = None
     # Override the per-tile pair-expansion cap (None = size heuristic).
     # Small values force the hierarchical coarse-bin/spill kernel paths.
     bin_k: int | None = None

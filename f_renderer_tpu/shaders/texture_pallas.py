@@ -53,6 +53,17 @@ def _unpack_u8_raw(g, c):
     return ((g >> (8 * c)) & 0xFF).astype(jnp.float32)
 
 
+def _rmin(x):
+    """Cross-lane min, sublane-reduced first: a (bs, 128) full reduction
+    costs ~200 cycles lowered whole; axis-0 first is a bs/8-vreg vector op
+    and only the final (1, 128) pays the cross-lane tree (VERDICT r2 #1c)."""
+    return jnp.min(jnp.min(x, axis=0, keepdims=True))
+
+
+def _rmax(x):
+    return jnp.max(jnp.max(x, axis=0, keepdims=True))
+
+
 def sample_packed_planar(
     tex_ref,  # VMEM ref (T·Hmax·pages, 128) i32 — packed stack
     dims,  # SMEM ref (T, 2) i32 or concrete array
@@ -129,11 +140,11 @@ def sample_packed_planar(
         wy2 = b
 
         big = jnp.int32(2**30)
-        y_lo = jnp.clip(jnp.min(jnp.where(sel, y1, big)), 0, hmax - 1)
-        y_hi = jnp.clip(jnp.max(jnp.where(sel, y2, -1)), -1, hmax - 1)
+        y_lo = jnp.clip(_rmin(jnp.where(sel, y1, big)), 0, hmax - 1)
+        y_hi = jnp.clip(_rmax(jnp.where(sel, y2, -1)), -1, hmax - 1)
         if pages > 1:
-            p_lo = jnp.clip(jnp.min(jnp.where(sel, px1, big)), 0, pages - 1)
-            p_hi = jnp.clip(jnp.max(jnp.where(sel, px2, -1)), -1, pages - 1)
+            p_lo = jnp.clip(_rmin(jnp.where(sel, px1, big)), 0, pages - 1)
+            p_hi = jnp.clip(_rmax(jnp.where(sel, px2, -1)), -1, pages - 1)
         base_t = t * hmax * pages
 
         def tap_accum(acc, row, page, wy_row):
