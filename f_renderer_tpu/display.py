@@ -192,11 +192,61 @@ def save_frame(path: str, frame: np.ndarray) -> None:
 
 @dataclasses.dataclass
 class FrameEvent:
-    """Per-frame event record passed to the app callback (winit analogue)."""
+    """Per-frame event record passed to the app callback (winit analogue).
+
+    ``keys``: characters received from the loop's input source since the
+    previous frame — the live-input analogue of the reference forwarding
+    non-redraw winit events into render_func (vulkan_base.rs:803).
+    """
 
     index: int
     time: float
     dt: float
+    keys: str = ""
+
+
+class StdinKeys:
+    """Non-blocking raw-mode keyboard input from a controlling terminal.
+
+    The headless-host stand-in for the reference's winit mouse/scroll
+    events (phong.rs:214-311): puts the tty in cbreak mode and drains
+    pending characters each frame without blocking. On a non-tty stdin
+    (pipes, CI) it degrades to an always-empty source.
+    """
+
+    def __init__(self):
+        self._fd = None
+        self._saved = None
+        try:
+            if sys.stdin.isatty():
+                import termios
+                import tty
+
+                self._fd = sys.stdin.fileno()
+                self._saved = termios.tcgetattr(self._fd)
+                tty.setcbreak(self._fd)
+        except Exception:
+            self._fd = None
+
+    def poll(self) -> str:
+        if self._fd is None:
+            return ""
+        import select
+
+        out = []
+        while select.select([self._fd], [], [], 0)[0]:
+            ch = os.read(self._fd, 1).decode(errors="ignore")
+            if not ch:
+                break
+            out.append(ch)
+        return "".join(out)
+
+    def close(self) -> None:
+        if self._fd is not None and self._saved is not None:
+            import termios
+
+            termios.tcsetattr(self._fd, termios.TCSADRAIN, self._saved)
+            self._fd = None
 
 
 def render_loop(
@@ -207,6 +257,7 @@ def render_loop(
     frames: int = 0,
     print_fps: bool = True,
     max_in_flight: int = 2,
+    input_source=None,
 ):
     """Drive a frame loop (DisplayBase::render_loop, vulkan_base.rs:696-805).
 
@@ -214,6 +265,10 @@ def render_loop(
     jitted closure; ``frames=0`` runs until KeyboardInterrupt. Keeps up to
     ``max_in_flight`` dispatched frames outstanding so TPU compute overlaps
     the host-side present (the staging double-buffer analogue).
+
+    ``input_source``: object with ``poll() -> str`` (e.g. :class:`StdinKeys`)
+    whose pending characters are forwarded in ``event.keys`` — the live
+    input path (examples/interactive_demo.py).
 
     Returns the final state.
     """
@@ -224,9 +279,12 @@ def render_loop(
     try:
         while frames == 0 or i < frames:
             now = time.time()
-            event = FrameEvent(index=i, time=now, dt=now - t_prev)
+            keys = input_source.poll() if input_source is not None else ""
+            event = FrameEvent(index=i, time=now, dt=now - t_prev, keys=keys)
             t_prev = now
             frame, state = step(state, event)
+            if frame is None:  # step signals quit
+                break
             pending.append(frame)
             if len(pending) >= max_in_flight:
                 display.present(np.asarray(pending.pop(0)))
@@ -236,6 +294,9 @@ def render_loop(
             i += 1
     except KeyboardInterrupt:
         pass
+    finally:
+        if input_source is not None and hasattr(input_source, "close"):
+            input_source.close()
     for frame in pending:
         display.present(np.asarray(frame))
     return state

@@ -220,6 +220,7 @@ def prep_fused_packed(
             and chunk == tw
             and getattr(config, "deferred_interp", None) is not False
         ),
+        unroll=int(getattr(config, "unroll_pairs", 1)),
     )
     return arrays, statics
 
@@ -352,7 +353,7 @@ def render_fused_prepared(
     kernel = _make_kernel(
         th=th, tw=tw, chunk=chunk, id_base=0, n_ctx=n_ctx, epilogue=epilogue,
         binned=binned, deferred=deferred, cross_prefetch=cross_prefetch,
-        bg_empty=bg_packed,
+        bg_empty=bg_packed, unroll=int(statics.get("unroll", 1)),
     )
 
     grid = (h_pad // th, w_pad // tw)

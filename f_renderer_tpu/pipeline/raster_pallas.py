@@ -315,7 +315,7 @@ NF_SMEM_F = 16
 def _make_kernel(
     *, th: int, tw: int, chunk: int, id_base: int, n_ctx: int, epilogue=None,
     binned: bool = False, deferred: bool = False, cross_prefetch: bool = False,
-    bg_empty: int = 0,
+    bg_empty: int = 0, unroll: int = 1,
 ):
     """Build the raster kernel body.
 
@@ -767,15 +767,35 @@ def _make_kernel(
                     core, aux = cr[:3], cr[3:]
                 else:
                     core, aux = cr, None
+                own_body = _make_slot_tri_body(
+                    slot, gated=False, pair_base=pair_base
+                )
+                if unroll > 1:
+                    # Unrolled own-range loop: `unroll` pairs per iteration
+                    # with NO tail masking — out-of-range steps clamp to the
+                    # last pair and reprocess it, which the idempotent
+                    # (rhw, order) merge rejects exactly (equal keys fail
+                    # the strict tiebreak). Gives Mosaic's scheduler more
+                    # independent scalar reads per loop iteration.
+                    def own_loop(c):
+                        n_u = (hi - lo + (unroll - 1)) // unroll
+
+                        def body(j, cc):
+                            t = lo + j * unroll
+                            for u in range(unroll):
+                                cc = own_body(
+                                    jnp.minimum(t + u, hi - 1), cc
+                                )
+                            return cc
+
+                        return jax.lax.fori_loop(0, n_u, body, c)
+                else:
+                    def own_loop(c):
+                        return jax.lax.fori_loop(lo, hi, own_body, c)
+
                 core = jax.lax.cond(
                     is_own,
-                    lambda c: jax.lax.fori_loop(
-                        lo, hi,
-                        _make_slot_tri_body(
-                            slot, gated=False, pair_base=pair_base
-                        ),
-                        c,
-                    ),
+                    own_loop,
                     lambda c: jax.lax.fori_loop(
                         lo, hi,
                         _make_slot_tri_body(

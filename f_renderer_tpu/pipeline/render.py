@@ -62,6 +62,11 @@ class RenderConfig:
     # auto: on whenever the kernel carries ctx channels). Exposed for
     # paired A/B profiling (baselines/profile_deferred.py).
     deferred_interp: bool | None = None
+    # Pairs per own-range loop iteration in the fused kernel (exact for
+    # any value: tail steps clamp-reprocess the last pair, which the
+    # idempotent merge rejects). >1 exposes independent scalar reads to
+    # the Mosaic scheduler — A/B with baselines/profile_unroll.py.
+    unroll_pairs: int = 1
     # Override the per-tile pair-expansion cap (None = size heuristic).
     # Small values force the hierarchical coarse-bin/spill kernel paths.
     bin_k: int | None = None

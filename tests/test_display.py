@@ -86,3 +86,35 @@ def test_scene_roundtrip(tmp_path):
     f1, _, _ = scene.render()
     f2, _, _ = back.render()
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_render_loop_live_input():
+    """Input-source characters flow into FrameEvent.keys and a None frame
+    from step ends the loop (the live-input path, vulkan_base.rs:803
+    analogue)."""
+    from f_renderer_tpu.display import NullDisplay, render_loop
+
+    class Source:
+        def __init__(self):
+            self.script = ["ab", "", "x"]
+            self.closed = False
+
+        def poll(self):
+            return self.script.pop(0) if self.script else ""
+
+        def close(self):
+            self.closed = True
+
+    seen = []
+
+    def step(state, event):
+        seen.append(event.keys)
+        if "x" in event.keys:
+            return None, state
+        return np.zeros((4, 4, 4), np.uint8), state
+
+    src = Source()
+    render_loop(step, 0, NullDisplay(), frames=10, print_fps=False,
+                input_source=src)
+    assert seen == ["ab", "", "x"]
+    assert src.closed
