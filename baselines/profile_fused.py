@@ -44,7 +44,7 @@ def main():
           flush=True)
 
     # how many triangles spill (span > 8 tiles at (16,128))?
-    spi = np.asarray(tri.spi)
+    spi = np.moveaxis(np.asarray(tri.spi), -1, 0)  # planar (3,2,M) → (M,3,2)
     valid = np.asarray(tri.valid)
     minx = np.clip(spi[:, :, 0].min(1), 0, cfg.width)
     maxx = np.clip(spi[:, :, 0].max(1), 0, cfg.width)

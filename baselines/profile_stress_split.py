@@ -43,7 +43,7 @@ def main():
 
     def stage_geometry(angle, vs_u, ps_u, draws):
         tri = geom(angle, vs_u, draws)
-        return jnp.sum(tri.rhw[::1001]) + jnp.sum(tri.ctx[:, ::1001])
+        return jnp.sum(tri.rhw[:, ::1001]) + jnp.sum(tri.ctx[:, ::1001])
 
     def stage_prep(angle, vs_u, ps_u, draws):
         tri = geom(angle, vs_u, draws)

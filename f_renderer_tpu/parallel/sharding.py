@@ -211,12 +211,10 @@ def render_frame_sharded(
             return frame, depth
 
         # Non-fused paths shade from the TriangleBuffer (winner-indexed
-        # gathers), so they need the gathered pytree. Gather along the slot
-        # axis — axis 0 everywhere except the planar (3C, M) ctx, whose
-        # slots live on the last axis.
+        # gathers), so they need the gathered pytree. The buffer is planar:
+        # the slot axis is the LAST axis of every field.
         def gather_slots(name, leaf):
-            axis = 1 if name == "ctx" else 0
-            return jax.lax.all_gather(leaf, "dp", axis=axis, tiled=True)
+            return jax.lax.all_gather(leaf, "dp", axis=leaf.ndim - 1, tiled=True)
 
         import dataclasses
 

@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from f_renderer_tpu.pipeline.raster_pallas import (
     NF_I,
+    NF_I_REAL,
     NF_SMEM_F,
     _SLOT,
     _cdiv,
@@ -155,6 +156,29 @@ def pack_fused(tri: TriangleBuffer, config):
     )
 
 
+def _pair_gather(arr, idx, form=None):
+    """Pair-order gather of field-major (NF, m_pad) → (NF, n_pairs).
+
+    Formulation matters enormously on TPU: this is the stress4k prep
+    bottleneck (~115 ms of the ~287 ms r3 frame for 56 rows × 2M pairs,
+    baselines/profile_prep.py). ``arr[:, idx]`` (a multi-dim gather) vs
+    per-row flat ``jnp.take`` lower very differently — see
+    baselines/profile_gather.py for the paired A/B. Selected per config
+    (RenderConfig.gather_form) or globally via FR_GATHER (2d | rowtake |
+    flat).
+    """
+    import os
+
+    form = form or os.environ.get("FR_GATHER", "2d")
+    if form == "2d":
+        return arr[:, idx]
+    if form == "flat":
+        nf, m_pad = arr.shape
+        offs = (jnp.arange(nf, dtype=jnp.int32) * m_pad)[:, None]
+        return jnp.take(arr.ravel(), offs + idx[None, :])
+    return jnp.stack([jnp.take(arr[r], idx) for r in range(arr.shape[0])])
+
+
 def prep_fused_packed(
     tri_i32,
     tri_f32,
@@ -204,8 +228,22 @@ def prep_fused_packed(
         tri_i32, (th, tw), (h_pad // th, w_pad // tw), k, chunk,
         m_dummy=m_dummy, origin=origin, kc=k,
     )
-    bi = tri_i32[:, ptri]
-    bf = tri_f32[:, ptri]
+    form = getattr(config, "gather_form", None)
+    # Only the real field rows are gathered (i32: 14 of 16; f32: 9 base +
+    # 3·C ctx of the 8-padded block — 33 of 40 at C=8); the sublane pad
+    # rows are re-appended as zeros afterwards. XLA fuses the pad into the
+    # gather's write loop, so the pad rows cost a write but not a gather
+    # read (~16% of the stress4k pair-gather traffic). The kernel never
+    # reads them — its chunk DMA copies whole 8-aligned row blocks.
+    from f_renderer_tpu.pipeline.raster_pallas import _CTX0
+
+    bi = _pair_gather(tri_i32[:NF_I_REAL], ptri, form)
+    bi = jnp.pad(bi, ((0, NF_I - NF_I_REAL), (0, 0)))
+    nf_f = tri_f32.shape[0]
+    real_f = _CTX0 + 3 * n_ctx  # 9 base fields + 3·C ctx
+    bf = _pair_gather(tri_f32[:real_f], ptri, form)
+    if real_f < nf_f:
+        bf = jnp.pad(bf, ((0, nf_f - real_f), (0, 0)))
     origin_arr = jnp.stack(
         [jnp.asarray(origin[0], jnp.int32), jnp.asarray(origin[1], jnp.int32)]
     )

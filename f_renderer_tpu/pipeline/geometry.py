@@ -152,18 +152,20 @@ def _setup_core(
             tlp(spi_x[1], spi_y[1], spi_x[2], spi_y[2]),
             tlp(spi_x[2], spi_y[2], spi_x[0], spi_y[0]),
         ],
-        axis=-1,
+        axis=0,
     )
+    # Planar (3, 2, N) assembly — stacks of dense (N,) planes, no
+    # small-trailing-dim relayout (types.TriangleBuffer docstring).
     spi = jnp.stack(
-        [jnp.stack([spi_x[v], spi_y[v]], axis=-1) for v in range(3)], axis=1
+        [jnp.stack([spi_x[v], spi_y[v]], axis=0) for v in range(3)], axis=0
     )
     spf = jnp.stack(
-        [jnp.stack([spf_x[v], spf_y[v]], axis=-1) for v in range(3)], axis=1
+        [jnp.stack([spf_x[v], spf_y[v]], axis=0) for v in range(3)], axis=0
     )
     return TriangleBuffer(
         spi=spi,
         spf=spf,
-        rhw=jnp.stack(rhw, axis=1),
+        rhw=jnp.stack(rhw, axis=0),
         ctx=jnp.stack([c for v in range(3) for c in ctx[v]], axis=0)
         if ctx[0]
         else jnp.zeros((0, valid.shape[0]), jnp.float32),

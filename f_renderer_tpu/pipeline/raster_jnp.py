@@ -72,12 +72,12 @@ def rasterize_jnp(
 
     # Clamped bbox per triangle (renderer.rs:285-298). The sequential
     # min/clamp loop is equivalent to clamp(min(...)), clamp(max(...)).
-    sx = tri.spi[:, :, 0]
-    sy = tri.spi[:, :, 1]
-    min_x = jnp.clip(jnp.min(sx, axis=1), 0, fw)
-    max_x = jnp.clip(jnp.max(sx, axis=1), 0, fw)
-    min_y = jnp.clip(jnp.min(sy, axis=1), 0, fh)
-    max_y = jnp.clip(jnp.max(sy, axis=1), 0, fh)
+    sx = tri.spi[:, 0]  # (3, M) planes — TriangleBuffer is planar
+    sy = tri.spi[:, 1]
+    min_x = jnp.clip(jnp.min(sx, axis=0), 0, fw)
+    max_x = jnp.clip(jnp.max(sx, axis=0), 0, fw)
+    min_y = jnp.clip(jnp.min(sy, axis=0), 0, fh)
+    max_y = jnp.clip(jnp.max(sy, axis=0), 0, fh)
 
     def tile_body(oy0, ox0):
         cy = oy0 + jnp.arange(th, dtype=jnp.int32)[:, None]  # (th, 1)
@@ -87,10 +87,10 @@ def rasterize_jnp(
 
         def body(i, carry):
             depth, worder, winner = carry
-            p = tri.spi[i]  # (3, 2)
-            spf = tri.spf[i]  # (3, 2)
-            rhw3 = tri.rhw[i]  # (3,)
-            tl = tri.top_left[i]  # (3,)
+            p = tri.spi[..., i]  # (3, 2)
+            spf = tri.spf[..., i]  # (3, 2)
+            rhw3 = tri.rhw[..., i]  # (3,)
+            tl = tri.top_left[..., i]  # (3,)
 
             in_bbox = (
                 (cx >= min_x[i])

@@ -46,19 +46,30 @@ from f_renderer_tpu.pipeline.types import TriangleBuffer
 
 ORDER_NONE = -2147483648
 
-# tri_i32 field columns
-_P0X, _P0Y, _P1X, _P1Y, _P2X, _P2Y = range(6)
-# 2·signed area = e01+e12+e20 (a per-triangle constant; the identity is a
-# polynomial identity over ℤ so it holds exactly in wrapped i32 too) — the
-# kernel derives e12 from it in 2 vector ops instead of 5.
+# tri_i32 field columns. Real fields are CONTIGUOUS in rows 0..13 with the
+# two sublane-pad rows at the tail, so the prep's pair-order gather can
+# fetch only NF_I_REAL rows (fused._pair_gather) and re-append the pad —
+# the pad rows cost a write but never a gather read. Constraint: _SLOT/_PS
+# must sit in rows [8, 16) — the deferred kernel DMAs that sublane-aligned
+# half to VMEM for the chunk-deferred lane gathers.
+# Edge functions are stored in AFFINE form: e(cx, cy) = A·cx + B·cy + C,
+# precomputed at pack time. e01 = -(cx-p0x)(p1y-p0y) + (cy-p0y)(p1x-p0x)
+# (renderer.rs:329-331) distributes to A01 = -(p1y-p0y), B01 = p1x-p0x,
+# C01 = p0x(p1y-p0y) - p0y(p1x-p0x) — EXACT under wrapped i32 (the
+# identity is polynomial over ℤ, and wrap is reduction mod 2³²). The
+# kernel evaluates each edge in 4 vector ops instead of 6.
+_A01, _B01, _C01, _A20, _B20, _C20 = range(6)
+# 2·signed area = e01+e12+e20 (a per-triangle constant; same wrapped-ℤ
+# argument) — the kernel derives e12 from it in 2 vector ops instead of 4.
 _AREA2 = 6
-_ORDER = 9
-_MINX, _MAXX, _MINY, _MAXY = 10, 11, 12, 13
-_SLOT = 14  # original TriangleBuffer slot id (winner ids index that buffer)
+_ORDER = 7
+_MINX, _MAXX, _MINY, _MAXY = 8, 9, 10, 11
+_SLOT = 12  # original TriangleBuffer slot id (winner ids index that buffer)
 # bits 0..7: ps_index (texture/draw selector; ≤256 draws — asserted at
 # build); bits 8..10: the three top-left fill-rule flags (renderer.rs:26-29)
-_PS = 15
+_PS = 13
 PS_MASK = 0xFF
+NF_I_REAL = 14
 NF_I = 16
 # tri_f32 field columns
 _S0X, _S0Y, _S1X, _S1Y, _S2X, _S2Y = range(6)
@@ -95,34 +106,40 @@ def pack_setup(
     (vertex-major: v0 ch0..C-1, v1 ch0..C-1, v2 ch0..C-1).
     """
     m = tri.num_slots
-    sx = tri.spi[:, :, 0]
-    sy = tri.spi[:, :, 1]
+    sx = tri.spi[:, 0]  # (3, M) planes — TriangleBuffer is planar
+    sy = tri.spi[:, 1]
     valid = tri.valid
-    min_x = jnp.where(valid, jnp.clip(jnp.min(sx, axis=1), 0, width), 0)
-    max_x = jnp.where(valid, jnp.clip(jnp.max(sx, axis=1), 0, width), 0)
-    min_y = jnp.where(valid, jnp.clip(jnp.min(sy, axis=1), 0, height), 0)
-    max_y = jnp.where(valid, jnp.clip(jnp.max(sy, axis=1), 0, height), 0)
-    area2 = (sx[:, 1] - sx[:, 0]) * (sy[:, 2] - sy[:, 0]) - (
-        sy[:, 1] - sy[:, 0]
-    ) * (sx[:, 2] - sx[:, 0])
+    min_x = jnp.where(valid, jnp.clip(jnp.min(sx, axis=0), 0, width), 0)
+    max_x = jnp.where(valid, jnp.clip(jnp.max(sx, axis=0), 0, width), 0)
+    min_y = jnp.where(valid, jnp.clip(jnp.min(sy, axis=0), 0, height), 0)
+    max_y = jnp.where(valid, jnp.clip(jnp.max(sy, axis=0), 0, height), 0)
+    area2 = (sx[1] - sx[0]) * (sy[2] - sy[0]) - (
+        sy[1] - sy[0]
+    ) * (sx[2] - sx[0])
+    # Affine edge coefficients (see the field-constant comment above).
+    dy01 = sy[1] - sy[0]
+    dx01 = sx[1] - sx[0]
+    a01, b01 = -dy01, dx01
+    c01 = sx[0] * dy01 - sy[0] * dx01
+    dy20 = sy[0] - sy[2]
+    dx20 = sx[0] - sx[2]
+    a20, b20 = -dy20, dx20
+    c20 = sx[2] * dy20 - sy[2] * dx20
     ps_tl = (
         tri.ps_index.astype(jnp.int32)
-        | (tri.top_left[:, 0].astype(jnp.int32) << 8)
-        | (tri.top_left[:, 1].astype(jnp.int32) << 9)
-        | (tri.top_left[:, 2].astype(jnp.int32) << 10)
+        | (tri.top_left[0].astype(jnp.int32) << 8)
+        | (tri.top_left[1].astype(jnp.int32) << 9)
+        | (tri.top_left[2].astype(jnp.int32) << 10)
     )
-    zero_m = jnp.zeros((m,), jnp.int32)
     cols_i = jnp.stack(
         [
-            sx[:, 0],
-            sy[:, 0],
-            sx[:, 1],
-            sy[:, 1],
-            sx[:, 2],
-            sy[:, 2],
+            a01,
+            b01,
+            c01,
+            a20,
+            b20,
+            c20,
             area2,
-            zero_m,
-            zero_m,
             tri.order,
             min_x,
             max_x,
@@ -134,15 +151,15 @@ def pack_setup(
         axis=0,
     )
     rows_f = [
-        tri.spf[:, 0, 0],
-        tri.spf[:, 0, 1],
-        tri.spf[:, 1, 0],
-        tri.spf[:, 1, 1],
-        tri.spf[:, 2, 0],
-        tri.spf[:, 2, 1],
-        tri.rhw[:, 0],
-        tri.rhw[:, 1],
-        tri.rhw[:, 2],
+        tri.spf[0, 0],
+        tri.spf[0, 1],
+        tri.spf[1, 0],
+        tri.spf[1, 1],
+        tri.spf[2, 0],
+        tri.spf[2, 1],
+        tri.rhw[0],
+        tri.rhw[1],
+        tri.rhw[2],
     ]
     n_ctx = tri.num_channels if with_ctx else 0
     cols_f = jnp.stack(rows_f, axis=0)
@@ -291,7 +308,22 @@ def bin_pairs(
     ptri = jnp.tile(tri_ids, nk)
     # sort_key_val is ~4.6x faster than argsort+gather on TPU at these
     # sizes (baselines/profile_sort.py: 1.1 ms vs 5.1 ms for 280k keys).
-    key_s, ptri_s = jax.lax.sort_key_val(key, ptri, is_stable=True)
+    # When (key, tri_id) fit in 31 bits together (they do up to ~2k tiles
+    # × ~1M slots — the stress4k case), pack both into ONE i32 and sort a
+    # single operand instead: each sort_key_val payload re-applies every
+    # compare-stage permutation, so halving the operands cuts the sort
+    # cost ~1/3. Exact: the merge is order-independent (associative,
+    # idempotent), so the packed sort's tri-id tiebreak (vs sort_key_val's
+    # positional stability) cannot change any pixel.
+    nkeys_total = ntiles + ntilesc + 2
+    id_bits = max((m - 1).bit_length(), 1)
+    if nkeys_total.bit_length() + id_bits <= 31:
+        packed = (key << id_bits) | ptri
+        packed_s = jax.lax.sort(packed)
+        key_s = packed_s >> id_bits
+        ptri_s = packed_s & jnp.int32((1 << id_bits) - 1)
+    else:
+        key_s, ptri_s = jax.lax.sort_key_val(key, ptri, is_stable=True)
     off = jnp.searchsorted(
         key_s, jnp.arange(ntiles + ntilesc + 2, dtype=jnp.int32)
     ).astype(jnp.int32)
@@ -425,12 +457,11 @@ def _make_kernel(
                 thr01 = 1 - ((psf >> 8) & 1)
                 thr12 = 1 - ((psf >> 9) & 1)
                 thr20 = 1 - ((psf >> 10) & 1)
-                p0x, p0y = i32f(_P0X), i32f(_P0Y)
-                p1x, p1y = i32f(_P1X), i32f(_P1Y)
-                p2x, p2y = i32f(_P2X), i32f(_P2Y)
+                a01, b01, c01 = i32f(_A01), i32f(_B01), i32f(_C01)
+                a20, b20, c20 = i32f(_A20), i32f(_B20), i32f(_C20)
                 if _DEBUG_PAIR_BODY == "floor" and deferred:
                     si = (
-                        p0x + p0y + p1x + p1y + p2x + p2y
+                        a01 + b01 + c01 + a20 + b20 + c20
                         + i32f(_AREA2) + i32f(_ORDER) + psf
                     )
                     sf = (
@@ -440,10 +471,10 @@ def _make_kernel(
                     )
                     bump = sf * 1e-38 + si.astype(jnp.float32) * 1e-38 - 3e38
                     return jnp.maximum(depth, bump), worder, wpair
-                e01 = -(cx - p0x) * (p1y - p0y) + (cy - p0y) * (p1x - p0x)
-                e20 = -(cx - p2x) * (p0y - p2y) + (cy - p2y) * (p0x - p2x)
+                e01 = a01 * cx + b01 * cy + c01
+                e20 = a20 * cx + b20 * cy + c20
                 # e01+e12+e20 = 2·area — exact under i32 wrap, so e12 costs
-                # 2 vector ops instead of 5.
+                # 2 vector ops instead of 4.
                 e12 = i32f(_AREA2) - e01 - e20
                 cover = (
                     (e01 >= thr01)

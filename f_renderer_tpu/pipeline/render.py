@@ -70,6 +70,10 @@ class RenderConfig:
     # Override the per-tile pair-expansion cap (None = size heuristic).
     # Small values force the hierarchical coarse-bin/spill kernel paths.
     bin_k: int | None = None
+    # Pair-order gather formulation in the fused prep (None = default;
+    # "2d" | "rowtake" | "flat" — baselines/profile_gather.py A/B). The
+    # same values can be forced globally via the FR_GATHER env var.
+    gather_form: str | None = None
 
 
 def apply_ps_boundary_quirk(

@@ -37,33 +37,44 @@ def interpolate_context(
     h, w = winner.shape
     y0, x0 = origin
     wid = jnp.maximum(winner, 0)
-    spf = tri.spf[wid]  # (H, W, 3, 2)
-    rhw3 = tri.rhw[wid]  # (H, W, 3)
+    # Planar single-axis flat takes per (vertex, component) plane — the
+    # multi-dim ``tri.spf[wid]`` gather form lowers far worse on TPU
+    # (CLAUDE.md gather lesson; TriangleBuffer is planar since r3).
+    sfx = [jnp.take(tri.spf[v, 0], wid) for v in range(3)]  # (H, W) each
+    sfy = [jnp.take(tri.spf[v, 1], wid) for v in range(3)]
+    rhw3 = [jnp.take(tri.rhw[v], wid) for v in range(3)]
     nc = tri.num_channels
-    ctx3 = jnp.moveaxis(
-        tri.ctx[:, wid].reshape(3, nc, h, w), (0, 1), (-2, -1)
-    )  # (H, W, 3, C)
 
-    px = x0 + jnp.arange(w, dtype=jnp.float32)[None, :, None] + 0.5
-    py = y0 + jnp.arange(h, dtype=jnp.float32)[:, None, None] + 0.5
-    sx = spf[..., 0] - px  # (H, W, 3)
-    sy = spf[..., 1] - py
+    px = x0 + jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+    py = y0 + jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    sx = [sfx[v] - px for v in range(3)]
+    sy = [sfy[v] - py for v in range(3)]
 
     def perp(i, j):
-        return jnp.abs(sx[..., i] * sy[..., j] - sy[..., i] * sx[..., j])
+        return jnp.abs(sx[i] * sy[j] - sy[i] * sx[j])
 
     a = perp(1, 2)
     b = perp(2, 0)
     c = perp(0, 1)
-    s = a + b + c
-    inv_s = 1.0 / s
-    lam = jnp.stack([a, b, c], axis=-1) * inv_s[..., None]  # (H, W, 3)
+    inv_s = 1.0 / (a + b + c)
+    la, lb, lc = a * inv_s, b * inv_s, c * inv_s
 
-    rhw = jnp.sum(rhw3 * lam, axis=-1)
+    rhw = rhw3[0] * la + rhw3[1] * lb + rhw3[2] * lc
     w_corr = 1.0 / jnp.where(rhw != 0.0, rhw, 1.0)  # renderer.rs:368
-    coef = rhw3 * lam * w_corr[..., None]  # (H, W, 3)
-    ctx = jnp.sum(ctx3 * coef[..., None], axis=-2)  # (H, W, C)
-    return ctx, tri.ps_index[wid]
+    coef = [rhw3[0] * la * w_corr, rhw3[1] * lb * w_corr, rhw3[2] * lc * w_corr]
+    if nc:
+        ctx = jnp.stack(
+            [
+                jnp.take(tri.ctx[0 * nc + ch], wid) * coef[0]
+                + jnp.take(tri.ctx[1 * nc + ch], wid) * coef[1]
+                + jnp.take(tri.ctx[2 * nc + ch], wid) * coef[2]
+                for ch in range(nc)
+            ],
+            axis=-1,
+        )  # (H, W, C)
+    else:
+        ctx = jnp.zeros((h, w, 0), jnp.float32)
+    return ctx, jnp.take(tri.ps_index, wid)
 
 
 def shade_from_planes(

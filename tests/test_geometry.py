@@ -59,9 +59,11 @@ def extract_valid(buf):
     perm = np.argsort(order)
     idx = idx[perm]
     return {
-        "spi": np.asarray(buf.spi)[idx],
-        "spf": np.asarray(buf.spf)[idx],
-        "rhw": np.asarray(buf.rhw)[idx],
+        # planar (3, 2, M) / (3, M) buffer fields → slot-major for the
+        # per-triangle golden comparison
+        "spi": np.moveaxis(np.asarray(buf.spi), -1, 0)[idx],
+        "spf": np.moveaxis(np.asarray(buf.spf), -1, 0)[idx],
+        "rhw": np.moveaxis(np.asarray(buf.rhw), -1, 0)[idx],
         "ctx": np.asarray(buf.ctx_stacked())[idx],
         "order": np.asarray(buf.order)[idx],
     }

@@ -204,7 +204,8 @@ def test_merge_is_order_independent():
     )
     winner_a, depth_a = rasterize_jnp(buf, W, H)
     perm = rng.permutation(buf.num_slots)
-    buf_p = jax.tree.map(lambda x: x[perm], buf)
+    # TriangleBuffer is planar: the slot axis is the LAST axis everywhere.
+    buf_p = jax.tree.map(lambda x: x[..., perm], buf)
     winner_p, depth_p = rasterize_jnp(buf_p, W, H)
     # map permuted winner ids back to original slots
     winner_p = np.asarray(winner_p)
