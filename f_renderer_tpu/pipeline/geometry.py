@@ -288,51 +288,59 @@ def geometry_process(
         pos, ctx = vertex_shader(vs_uniform, vin)
         return jnp.asarray(pos, jnp.float32), codec.flatten(ctx)
 
-    # Run the VS once per corner over (F,) batches with out_axes=-1: pos
-    # comes out (4, F) and ctx (C, F) — dense per-component planes with the
-    # face dim on the 128-lane axis. One vmap over (F*3,) would hand back
-    # (F*3, 4)/(F*3, C) whose every per-vertex-component extraction is a
-    # strided slice over 4-/C-wide trailing dims (tile-padded, ~1/16 lane
-    # use; ~14 ms of the 1M-face stress4k geometry stage was such ops).
+    # Run the VS ONCE over all 3F corners (corner-major concat) with
+    # out_axes=-1: pos comes out (4, 3F) and ctx (C, 3F) — dense
+    # per-component planes with the corner dim on the 128-lane axis, and
+    # the VS + inside-test + screen-transform graphs are built once
+    # instead of three times (the per-op launch overhead of many tiny
+    # XLA ops IS the small-scene frame floor). Per-vertex (F,) planes
+    # are contiguous slices [v·F, (v+1)·F) afterwards. A (F·3, 4)-shaped
+    # vmap would instead pay strided slices over 4-/C-wide trailing dims
+    # (tile-padded, ~1/16 lane use; ~14 ms of the 1M-face stress4k
+    # geometry stage was such ops).
     c = codec.num_channels
-    P = []  # [v][comp] → (F,) clip-position planes
-    CTXP = []  # [v][ch] → (F,) varying planes
-    for v in range(3):
-        corner = jax.tree.map(
-            lambda l: jnp.asarray(l[:, v], jnp.float32), vs_inputs
-        )
-        pos_v, ctx_v = jax.vmap(vs_one, out_axes=-1)(corner)
-        P.append([pos_v[comp] for comp in range(4)])
-        CTXP.append([ctx_v[ch] for ch in range(c)])
+    corners = jax.tree.map(
+        lambda l: jnp.concatenate(
+            [jnp.asarray(l[:, v], jnp.float32) for v in range(3)], axis=0
+        ),
+        vs_inputs,
+    )
+    pos_a, ctx_a = jax.vmap(vs_one, out_axes=-1)(corners)  # (4, 3F), (C, 3F)
+
+    def vslice(arr_1d, v):
+        return jax.lax.slice_in_dim(arr_1d, v * f, (v + 1) * f)
+
+    P = [[vslice(pos_a[comp], v) for comp in range(4)] for v in range(3)]
+    CTXP = [[vslice(ctx_a[ch], v) for ch in range(c)] for v in range(3)]
     w_ok = (P[0][3] != 0.0) & (P[1][3] != 0.0) & (P[2][3] != 0.0)
-    all_in = None
-    for v in range(3):  # _insides, planar (renderer.rs:46-58)
-        x, y, z, w = P[v]
-        iv = (
-            (x >= -w) & (x <= w) & (y <= w) & (y >= -w)
-            & (z >= 0.0) & (z <= w)
-        )
-        all_in = iv if all_in is None else all_in & iv
+    # _insides on all corners at once, planar (renderer.rs:46-58)
+    xa, ya, za, wa = pos_a[0], pos_a[1], pos_a[2], pos_a[3]
+    iv_all = (
+        (xa >= -wa) & (xa <= wa) & (ya <= wa) & (ya >= -wa)
+        & (za >= 0.0) & (za <= wa)
+    )
+    all_in = vslice(iv_all, 0) & vslice(iv_all, 1) & vslice(iv_all, 2)
     face_idx = jnp.arange(f, dtype=jnp.int32)
 
     # ---- Path A: all-inside faces (no clip, no sort) ----
     a_valid = w_ok & all_in
     wf = jnp.float32(width)
     hf = jnp.float32(height)
-    rhw_p, ndc_x, ndc_y, spf_x, spf_y, spi_x, spi_y = ([] for _ in range(7))
-    for v in range(3):  # _screen_coords, planar (renderer.rs:220-235)
-        rhw_v = 1.0 / P[v][3]
-        nx = P[v][0] * rhw_v
-        ny = P[v][1] * rhw_v
-        sx = (nx + 1.0) * wf * 0.5
-        sy = (1.0 - ny) * hf * 0.5
-        rhw_p.append(rhw_v)
-        ndc_x.append(nx)
-        ndc_y.append(ny)
-        spf_x.append(sx)
-        spf_y.append(sy)
-        spi_x.append(_f32_to_i32_sat(sx + 0.5))
-        spi_y.append(_f32_to_i32_sat(sy + 0.5))
+    # _screen_coords on all corners at once, planar (renderer.rs:220-235)
+    rhw_a = 1.0 / wa
+    nx_a = xa * rhw_a
+    ny_a = ya * rhw_a
+    sx_a = (nx_a + 1.0) * wf * 0.5
+    sy_a = (1.0 - ny_a) * hf * 0.5
+    six_a = _f32_to_i32_sat(sx_a + 0.5)
+    siy_a = _f32_to_i32_sat(sy_a + 0.5)
+    rhw_p = [vslice(rhw_a, v) for v in range(3)]
+    ndc_x = [vslice(nx_a, v) for v in range(3)]
+    ndc_y = [vslice(ny_a, v) for v in range(3)]
+    spf_x = [vslice(sx_a, v) for v in range(3)]
+    spf_y = [vslice(sy_a, v) for v in range(3)]
+    spi_x = [vslice(six_a, v) for v in range(3)]
+    spi_y = [vslice(siy_a, v) for v in range(3)]
     buf_a = _setup_core(
         ndc_x, ndc_y, spf_x, spf_y, spi_x, spi_y, rhw_p, CTXP,
         a_valid, order_base + face_idx * MAX_FAN, ps_index, cull,
