@@ -224,10 +224,18 @@ def prep_fused_packed(
     w_pad = _cdiv(width, tw) * tw
     if m_dummy is None:
         m_dummy = n_slots
-    ptri, off = bin_pairs(
-        tri_i32, (th, tw), (h_pad // th, w_pad // tw), k, chunk,
-        m_dummy=m_dummy, origin=origin, kc=k,
-    )
+    mode = getattr(config, "bin_mode", None) or "pairs"
+    if mode == "direct":
+        from f_renderer_tpu.pipeline.raster_pallas import bin_direct
+
+        ptri, off = bin_direct(
+            tri_i32, (th, tw), (h_pad // th, w_pad // tw), origin=origin
+        )
+    else:
+        ptri, off = bin_pairs(
+            tri_i32, (th, tw), (h_pad // th, w_pad // tw), k, chunk,
+            m_dummy=m_dummy, origin=origin, kc=k,
+        )
     form = getattr(config, "gather_form", None)
     # Only the real field rows are gathered (i32: 14 of 16; f32: 9 base +
     # 3·C ctx of the 8-padded block — 33 of 40 at C=8); the sublane pad

@@ -339,6 +339,71 @@ def bin_pairs(
     return ptri_s, off
 
 
+def bin_direct(tri_i32, tile: tuple[int, int], grid_hw: tuple[int, int],
+               origin=(0, 0)):
+    """Single-copy per-slot binning (no pair expansion) → (perm, off).
+
+    Each triangle is assigned to exactly ONE bucket: its fine tile if its
+    clamped bbox spans one fine tile (69% of the 1M-tri stress scene at
+    64-row tiles, baselines/profile_prep.py), else its coarse tile if it
+    spans one COARSE×COARSE coarse tile, else the shared spill bucket
+    (scanned by every tile, bbox-gated + chunk-skipped). Compared to
+    :func:`bin_pairs` this sorts m keys instead of nk·m and the pair-order
+    gather becomes a PERMUTATION of m slots instead of nk·m pairs —
+    halving the two dominant stress4k prep costs at nk=2 — in exchange
+    for multi-fine-span triangles running through the per-triangle-gated
+    coarse/spill paths instead of exact fine lists.
+
+    The returned ``off`` table has the same (ntiles+ntilesc+2,) layout as
+    bin_pairs, so the kernel is unchanged: own ranges stay exact/ungated
+    (a span-1 triangle covers only its fine tile by construction).
+    """
+    th, tw = tile
+    nty, ntx = grid_hw
+    ntiles = nty * ntx
+    ntyc = _cdiv(nty, COARSE)
+    ntxc = _cdiv(ntx, COARSE)
+    ntilesc = ntyc * ntxc
+    big = jnp.int32(ntiles + ntilesc + 1)
+    y_org, x_org = origin
+    minx = jnp.clip(tri_i32[_MINX] - x_org, 0, ntx * tw)
+    maxx = jnp.clip(tri_i32[_MAXX] - x_org, 0, ntx * tw)
+    miny = jnp.clip(tri_i32[_MINY] - y_org, 0, nty * th)
+    maxy = jnp.clip(tri_i32[_MAXY] - y_org, 0, nty * th)
+    nonempty = (maxx > minx) & (maxy > miny)
+    tx0 = minx // tw
+    tx1 = jnp.maximum(maxx - 1, minx) // tw
+    ty0 = miny // th
+    ty1 = jnp.maximum(maxy - 1, miny) // th
+    fine = nonempty & (tx1 == tx0) & (ty1 == ty0)
+    ctx0, cty0 = tx0 // COARSE, ty0 // COARSE
+    ctx1, cty1 = tx1 // COARSE, ty1 // COARSE
+    midc = nonempty & ~fine & (ctx0 == ctx1) & (cty0 == cty1)
+    key = jnp.where(
+        fine,
+        ty0 * ntx + tx0,
+        jnp.where(
+            midc,
+            ntiles + cty0 * ntxc + ctx0,
+            jnp.where(nonempty, ntiles + ntilesc, big),
+        ),
+    )
+    m = tri_i32.shape[1]
+    slots = jnp.arange(m, dtype=jnp.int32)
+    nkeys_total = ntiles + ntilesc + 2
+    id_bits = max((m - 1).bit_length(), 1)
+    if nkeys_total.bit_length() + id_bits <= 31:
+        packed_s = jax.lax.sort((key << id_bits) | slots)
+        key_s = packed_s >> id_bits
+        perm = packed_s & jnp.int32((1 << id_bits) - 1)
+    else:
+        key_s, perm = jax.lax.sort_key_val(key, slots, is_stable=True)
+    off = jnp.searchsorted(
+        key_s, jnp.arange(ntiles + ntilesc + 2, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    return perm, off
+
+
 # Deferred mode: per-pair scalar reads only touch the spf/rhw rows (0..8),
 # but HBM DMA source slices must be sublane-aligned → copy 16 rows.
 NF_SMEM_F = 16

@@ -74,6 +74,11 @@ class RenderConfig:
     # "2d" | "rowtake" | "flat" — baselines/profile_gather.py A/B). The
     # same values can be forced globally via the FR_GATHER env var.
     gather_form: str | None = None
+    # Binning scheme: "pairs" (exact per-tile lists via pair expansion,
+    # default) or "direct" (single-copy per-slot buckets, raster_pallas.
+    # bin_direct — half the bin sort + gather at huge scene sizes, at the
+    # cost of coarse/spill gating for multi-fine-span triangles).
+    bin_mode: str | None = None
 
 
 def apply_ps_boundary_quirk(

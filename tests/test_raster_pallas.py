@@ -174,3 +174,81 @@ def test_empty_buffer():
     winner_p, depth_p = rasterize_pallas(buf, W, H, interpret=True)
     assert (np.asarray(winner_p) == -1).all()
     assert (np.asarray(depth_p) == 0).all()
+
+
+def test_bin_direct_exact_coverage(rng):
+    # Single-copy binning (bin_direct): every (tile, triangle) overlap must
+    # be reachable via the tile's own fine range, its coarse range, or the
+    # spill bucket — and own ranges must contain ONLY triangles whose bbox
+    # lies entirely inside that tile (they are ungated in the kernel).
+    from f_renderer_tpu.pipeline.raster_pallas import (
+        _MAXX, _MAXY, _MINX, _MINY, COARSE, bin_direct, pack_setup,
+    )
+
+    buf = make_buffer(rng, n_faces=40, spread=2.0)
+    th, tw = 16, 128
+    m = buf.num_slots
+    m_pad = ((m + 1 + 127) // 128) * 128
+    ti, _ = pack_setup(buf, W, H, m_pad, with_ctx=True)
+    nty, ntx = -(-H // th), -(-W // tw)
+    perm, off = bin_direct(ti, (th, tw), (nty, ntx))
+    perm = np.asarray(perm)
+    off = np.asarray(off)
+    ti = np.asarray(ti)
+    ntiles = nty * ntx
+    ntxc = -(-ntx // COARSE)
+    ntilesc = -(-nty // COARSE) * ntxc
+    spill = set(perm[off[ntiles + ntilesc] : off[ntiles + ntilesc + 1]].tolist())
+    for t in range(ntiles):
+        own = set(perm[off[t] : off[t + 1]].tolist())
+        ty, tx = divmod(t, ntx)
+        c = ntiles + (ty // COARSE) * ntxc + (tx // COARSE)
+        coarse = set(perm[off[c] : off[c + 1]].tolist())
+        y0, x0 = ty * th, tx * tw
+        for s in range(m_pad):
+            minx, maxx = ti[_MINX, s], ti[_MAXX, s]
+            miny, maxy = ti[_MINY, s], ti[_MAXY, s]
+            overlaps = (
+                maxx > minx and maxy > miny
+                and minx < x0 + tw and maxx > x0
+                and miny < y0 + th and maxy > y0
+            )
+            if overlaps:
+                assert s in own or s in coarse or s in spill, (t, s)
+            if s in own:
+                # ungated own ranges: bbox fully inside the tile
+                assert minx >= x0 and maxx <= x0 + tw, (t, s)
+                assert miny >= y0 and maxy <= y0 + th, (t, s)
+    # every slot lands in exactly one bucket overall
+    counts = {}
+    for seg in range(ntiles + ntilesc + 1):
+        for s in perm[off[seg] : off[seg + 1]].tolist():
+            counts[s] = counts.get(s, 0) + 1
+    assert all(v == 1 for v in counts.values())
+
+
+def test_fused_direct_matches_jnp(rng):
+    # Full fused render with bin_mode="direct" must match the jnp pipeline
+    # exactly on winners/depth (same merge over the same setup).
+    from f_renderer_tpu.pipeline.fused import render_fused_pallas
+    from f_renderer_tpu.pipeline.render import RenderConfig
+    from f_renderer_tpu.shaders.builtin import make_textured_shaders
+    from f_renderer_tpu.shaders.texture import TextureStack
+
+    buf = make_buffer(rng, n_faces=60, spread=2.5)
+    tex = np.zeros((8, 8, 4), np.uint8)
+    tex[::2, ::2] = (255, 64, 0, 255)
+    stack = TextureStack.create([tex])
+    _, ps = make_textured_shaders()
+    ps_u = {"textures": stack}
+    cfg = RenderConfig(
+        width=W, height=H, backend="pallas", bin_mode="direct", tile=(32, 128)
+    )
+    frame_d, depth_d, winner_d = render_fused_pallas(
+        buf, ps, ps_u, cfg, interpret=True
+    )
+    winner_j, depth_j = rasterize_jnp(buf, W, H)
+    np.testing.assert_array_equal(np.asarray(winner_d), np.asarray(winner_j))
+    np.testing.assert_allclose(
+        np.asarray(depth_d), np.asarray(depth_j), rtol=2.4e-7, atol=0.0
+    )
