@@ -172,6 +172,85 @@ def render_frame_sharded(
             )
         lin = dp * n_sp + sp
         y0 = lin * slab
+
+        comm = getattr(config, "comm_mode", None) or "all_gather"
+        if comm == "stream" and n_dp > 1:
+            # Streaming decomposition (SURVEY §5): instead of all_gather
+            # replicating the whole scene on every device, the dp ring
+            # ppermutes TriangleBuffer shards past each device's resident
+            # row slab — O(scene / n_dp) triangle memory per device, the
+            # beyond-HBM scaling story. Each round rasterizes + varying-
+            # interpolates the resident shard against the local slab; the
+            # rounds merge under the exact lexicographic (rhw, order) max
+            # (associative + idempotent, so the ring order is irrelevant
+            # and the result is bit-identical to the gathered path's
+            # raster). Shading happens ONCE at the end from the merged
+            # context planes (the XLA shading path — works for custom and
+            # builtin shaders alike).
+            from f_renderer_tpu.pipeline.raster_pallas import ORDER_NONE
+            from f_renderer_tpu.pipeline.shade import (
+                interpolate_context,
+                shade_from_planes,
+            )
+
+            m_local = tri_local.num_slots
+            nc = tri_local.num_channels
+            tile = (min(config.tile[0], slab), config.tile[1])
+            depth = jnp.zeros((slab, w), jnp.float32)
+            worder = jnp.full((slab, w), ORDER_NONE, jnp.int32)
+            winner = jnp.full((slab, w), -1, jnp.int32)
+            psx = jnp.zeros((slab, w), jnp.int32)
+            ctxp = jnp.zeros((slab, w, nc), jnp.float32)
+            ring = [(i, (i + 1) % n_dp) for i in range(n_dp)]
+            tri_cur = tri_local
+            for r in range(n_dp):
+                if config.backend == "pallas":
+                    from f_renderer_tpu.pipeline.raster_pallas import (
+                        rasterize_interp_pallas,
+                    )
+
+                    ctx_r, ps_r, win_r, d_r = rasterize_interp_pallas(
+                        tri_cur, w, slab, tile=tile,
+                        origin=(y0, 0), full_size=(h, w),
+                    )
+                else:
+                    win_r, d_r = rasterize_jnp(
+                        tri_cur, w, slab, tile=tile,
+                        origin=(y0, 0), full_size=(h, w),
+                    )
+                    ctx_r, ps_r = interpolate_context(
+                        tri_cur, win_r, w, slab, origin=(y0, 0)
+                    )
+                o_r = jnp.where(
+                    win_r >= 0,
+                    jnp.take(tri_cur.order, jnp.maximum(win_r, 0)),
+                    ORDER_NONE,
+                )
+                better = (d_r > depth) | ((d_r >= depth) & (o_r > worder))
+                # after r ppermutes (send i→i+1) device dp holds the shard
+                # packed by device (dp − r) mod n_dp; globalize winner ids
+                # with that owner's slot offset
+                owner = jax.lax.rem(dp - r + n_dp, n_dp)
+                depth = jnp.where(better, d_r, depth)
+                worder = jnp.where(better, o_r, worder)
+                winner = jnp.where(
+                    better,
+                    jnp.where(win_r >= 0, win_r + owner * m_local, -1),
+                    winner,
+                )
+                psx = jnp.where(better, ps_r, psx)
+                ctxp = jnp.where(better[..., None], ctx_r, ctxp)
+                if r + 1 < n_dp:
+                    tri_cur = jax.tree.map(
+                        lambda x: jax.lax.ppermute(x, "dp", ring), tri_cur
+                    )
+            frame = shade_from_planes(
+                ctxp, psx, winner, pixel_shader, ps_uniform, codec,
+                background=config.background,
+                vectorized=config.shade_vectorized,
+            )
+            return frame, depth
+
         from f_renderer_tpu.pipeline.fused import fused_path_ok
 
         if (

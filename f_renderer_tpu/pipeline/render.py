@@ -79,6 +79,12 @@ class RenderConfig:
     # bin_direct — half the bin sort + gather at huge scene sizes, at the
     # cost of coarse/spill gating for multi-fine-span triangles).
     bin_mode: str | None = None
+    # Multi-device communication backend (parallel/sharding.py):
+    # "all_gather" (default — every device holds the whole packed scene)
+    # or "stream" (ppermute triangle shards around the dp ring past
+    # resident row slabs — O(scene/n_dp) memory per device, the
+    # beyond-HBM decomposition of SURVEY §5).
+    comm_mode: str | None = None
 
 
 def apply_ps_boundary_quirk(

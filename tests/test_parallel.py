@@ -147,3 +147,31 @@ def test_sharded_fused_matches_single(scene):
     np.testing.assert_allclose(
         np.asarray(depth_n), np.asarray(depth_1), rtol=1e-5, atol=1e-7
     )
+
+
+@pytest.mark.parametrize("dp,sp", [(2, 4), (8, 1)])
+def test_stream_comm_matches_single_device(scene, dp, sp):
+    # comm_mode="stream": ppermute triangle shards around the dp ring
+    # instead of all_gather (O(scene/n_dp) memory per device). The
+    # cross-round merge is the same lexicographic (rhw, order) max, so
+    # the raster is partition-exact; shading goes through the XLA planes
+    # path (same last-ulp tolerance as the gathered comparisons).
+    import dataclasses
+
+    mesh = make_render_mesh(dp=dp, sp=sp)
+    cfg = dataclasses.replace(scene.config, comm_mode="stream")
+    frame_s, depth_s = render_frame_sharded(
+        scene.draws,
+        scene.vertex_shader,
+        scene.vs_uniform,
+        scene.pixel_shader,
+        scene.ps_uniform,
+        cfg,
+        mesh,
+    )
+    frame_1, depth_1, _ = scene.render()
+    _assert_frames_close(frame_s, frame_1, max_diff=2, budget=0.005)
+    np.testing.assert_allclose(
+        np.asarray(depth_s), np.asarray(depth_1), rtol=1e-5, atol=1e-7
+    )
+    assert (np.asarray(frame_s)[..., 0] != 30).any()
