@@ -265,12 +265,41 @@ def bench_voxel(frames: int, width=960, height=540, level=3):
     }
 
 
+def _wait_for_device(max_s: float) -> None:
+    """Retry backend init for up to ``max_s`` seconds.
+
+    The TPU here is reached over a tunnel that can drop for minutes at a
+    time (observed r3: multi-hour outage); a transient at bench time must
+    not cost the round its benchmark artifact. Each attempt runs in a
+    subprocess because a failed in-process init can leave jax pinned to a
+    dead backend.
+    """
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_s
+    while True:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=max(60, min(240, deadline - time.time() + 240)),
+        )
+        if proc.returncode == 0:
+            return
+        if time.time() >= deadline:
+            _log("device wait timed out; proceeding (bench may fail)")
+            return
+        _log("backend unavailable; retrying in 30 s")
+        time.sleep(30)
+
+
 def main():
     # Default to the FULL config list so the driver's BENCH_r*.json artifact
     # carries every headline number (VERDICT r1 #5), not just phong1080.
     config = os.environ.get("BENCH_CONFIG", "all")
     frames = int(os.environ.get("BENCH_FRAMES", "10"))
     backend = os.environ.get("BENCH_BACKEND", "")
+    _wait_for_device(float(os.environ.get("BENCH_DEVICE_WAIT_S", "900")))
     enable_compilation_cache()
     if not backend:
         import jax
