@@ -279,12 +279,24 @@ def _wait_for_device(max_s: float) -> None:
 
     deadline = time.time() + max_s
     while True:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True,
-            timeout=max(60, min(240, deadline - time.time() + 240)),
-        )
-        if proc.returncode == 0:
+        # A wedged tunnel can make the probe HANG rather than fail fast
+        # (BENCH_r03 died on an uncaught TimeoutExpired here). A hang is just
+        # another "backend unavailable": kill the probe's whole process group
+        # (start_new_session so a stuck grandchild can't linger) and retry.
+        ok = False
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True,
+                timeout=max(60, min(240, deadline - time.time() + 240)),
+                start_new_session=True,
+            )
+            ok = proc.returncode == 0
+        except subprocess.TimeoutExpired:
+            _log("device probe hung (timeout); treating as unavailable")
+        except OSError as e:
+            _log(f"device probe failed to launch: {e}")
+        if ok:
             return
         if time.time() >= deadline:
             _log("device wait timed out; proceeding (bench may fail)")
