@@ -14,13 +14,33 @@ import numpy as np
 
 
 def save_scene(path: str, scene) -> None:
-    """Serialize a Scene (scene.py) to .npz."""
+    """Serialize a Scene (scene.py) to .npz.
+
+    Only builtin shaders (flat/gouraud/textured/phong, identified by their
+    ``fused_kind`` tag) serialize — a custom shader closure has no stable
+    on-disk form; callers must re-attach those themselves.
+    """
     from f_renderer_tpu.pipeline import RenderConfig
+
+    kind = getattr(scene.pixel_shader, "fused_kind", None)
+    if kind not in ("flat", "gouraud", "textured", "phong"):
+        raise ValueError(
+            "save_scene only serializes the builtin shader kinds "
+            "(flat/gouraud/textured/phong); got pixel_shader without a "
+            "builtin fused_kind tag — re-attach custom shaders on load "
+            "instead"
+        )
+    shader_meta = {"kind": kind}
+    for attr in ("light_pos", "light_color"):
+        val = getattr(scene.pixel_shader, attr, None)
+        if val is not None:
+            shader_meta[attr] = list(val)
 
     arrays = {}
     meta = {
         "num_draws": len(scene.draws),
         "draw_keys": [sorted(d.keys()) for d in scene.draws],
+        "shader": shader_meta,
         "config": {
             "width": scene.config.width,
             "height": scene.config.height,
@@ -51,12 +71,24 @@ def save_scene(path: str, scene) -> None:
 
 
 def load_scene(path: str):
-    """Load a Scene saved by :func:`save_scene` (Phong shaders re-attached)."""
+    """Load a Scene saved by :func:`save_scene`.
+
+    The builtin shader pair recorded at save time (kind + light parameters)
+    is re-attached, so flat/gouraud/textured/phong scenes all round-trip
+    faithfully. Files written before the shader tag existed load as Phong
+    (the only kind save_scene emitted then).
+    """
     import jax.numpy as jnp
 
     from f_renderer_tpu.pipeline import RenderConfig
     from f_renderer_tpu.scene import Scene
-    from f_renderer_tpu.shaders import TextureStack, make_phong_shaders
+    from f_renderer_tpu.shaders import (
+        FlatShader,
+        TextureStack,
+        make_gouraud_shaders,
+        make_phong_shaders,
+        make_textured_shaders,
+    )
 
     z = np.load(path)
     meta = json.loads(bytes(z["__meta__"]).decode())
@@ -74,7 +106,19 @@ def load_scene(path: str):
             z["tex_data"], z["tex_dims"]
         )
     c = meta["config"]
-    vs, ps = make_phong_shaders()
+    sh = meta.get("shader", {"kind": "phong"})
+    kind = sh["kind"]
+    light_kw = {
+        k: tuple(sh[k]) for k in ("light_pos", "light_color") if k in sh
+    }
+    if kind == "flat":
+        vs, ps = FlatShader.vertex, FlatShader.pixel
+    elif kind == "textured":
+        vs, ps = make_textured_shaders()
+    elif kind == "gouraud":
+        vs, ps = make_gouraud_shaders(**light_kw)
+    else:
+        vs, ps = make_phong_shaders(**light_kw)
     return Scene(
         draws=draws,
         vertex_shader=vs,

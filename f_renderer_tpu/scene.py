@@ -259,9 +259,14 @@ def make_phong_scene(
     """A ready-to-render multi-mesh scene (the phong.rs workload shape).
 
     ``shader``: "phong" (textured per-pixel, the default) | "gouraud"
-    (vertex-lit) | "textured" (unlit bilinear).
+    (vertex-lit) | "textured" (unlit bilinear) | "flat" (per-face color;
+    meshes must carry a "color" attribute, as make_cube does).
     """
-    from f_renderer_tpu.shaders import make_gouraud_shaders, make_textured_shaders
+    from f_renderer_tpu.shaders import (
+        FlatShader,
+        make_gouraud_shaders,
+        make_textured_shaders,
+    )
 
     if meshes is None:
         meshes = [make_cube()]
@@ -273,11 +278,11 @@ def make_phong_scene(
         "phong": make_phong_shaders,
         "gouraud": make_gouraud_shaders,
         "textured": make_textured_shaders,
+        "flat": lambda: (FlatShader.vertex, FlatShader.pixel),
     }[shader]()
     proj = set_perspective(np.pi * 0.25, width / height, 0.1, 100.0)
-    draws = [
-        {k: jnp.asarray(m[k]) for k in ("pos", "uv", "normal")} for m in meshes
-    ]
+    draw_keys = ("pos", "color") if shader == "flat" else ("pos", "uv", "normal")
+    draws = [{k: jnp.asarray(m[k]) for k in draw_keys} for m in meshes]
     vs_uniform = {
         "model": set_identity(),
         "view": camera.look_at(),

@@ -163,4 +163,6 @@ def make_gouraud_shaders(light_pos=LIGHT_POS, light_color=LIGHT_COLOR):
         return jnp.concatenate([ctx["color"], one], axis=-1)
 
     pixel.fused_kind = "gouraud"
+    pixel.light_pos = tuple(light_pos)
+    pixel.light_color = tuple(light_color)
     return vertex, pixel

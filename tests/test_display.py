@@ -69,23 +69,38 @@ def test_frame_stats():
     assert 0 < d["pixels_covered"] < 64 * 48
 
 
-def test_scene_roundtrip(tmp_path):
-    import jax.numpy as jnp
-
+@pytest.mark.parametrize("shader", ["flat", "gouraud", "textured", "phong"])
+def test_scene_roundtrip(tmp_path, shader):
+    """Every builtin shader kind round-trips through .npz bit-exactly —
+    the load path re-attaches the recorded kind, not unconditionally Phong
+    (VERDICT r3 weak #7)."""
     from f_renderer_tpu.io.scene_io import load_scene, save_scene
     from f_renderer_tpu.scene import make_cube, make_phong_scene
 
-    scene = make_phong_scene(32, 24, meshes=[make_cube()], clip_cap=8)
+    scene = make_phong_scene(
+        32, 24, meshes=[make_cube()], clip_cap=8, shader=shader
+    )
     path = str(tmp_path / "scene.npz")
     save_scene(path, scene)
     back = load_scene(path)
     assert back.config == scene.config
+    assert back.pixel_shader.fused_kind == shader
     np.testing.assert_array_equal(
         np.asarray(back.draws[0]["pos"]), np.asarray(scene.draws[0]["pos"])
     )
     f1, _, _ = scene.render()
     f2, _, _ = back.render()
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_scene_save_rejects_custom_shader(tmp_path):
+    from f_renderer_tpu.io.scene_io import save_scene
+    from f_renderer_tpu.scene import make_cube, make_phong_scene
+
+    scene = make_phong_scene(16, 16, meshes=[make_cube()])
+    scene.pixel_shader = lambda u, ctx, ps_index: ctx["uv"]  # no fused_kind
+    with pytest.raises(ValueError, match="builtin shader kinds"):
+        save_scene(str(tmp_path / "scene.npz"), scene)
 
 
 def test_render_loop_live_input():
