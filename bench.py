@@ -305,6 +305,52 @@ def _wait_for_device(max_s: float) -> None:
         time.sleep(30)
 
 
+def _run_config_isolated(name: str, frames: int) -> dict | None:
+    """Run one config in a fresh python (same env, BENCH_CONFIG=name).
+
+    Sequential configs inside one process contaminate each other's timing:
+    the r4-start all-run measured voxel540 at 17.4 ms right after stress4k
+    vs 7.3 ms in a fresh process (2.4× phantom — device queue/allocator
+    state left by the 1M-tri programs). Per-config subprocesses also
+    isolate failures; the persistent compile cache keeps re-init cheap.
+    """
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_CONFIG=name, BENCH_FRAMES=str(frames))
+    env["BENCH_DEVICE_WAIT_S"] = env.get("BENCH_DEVICE_WAIT_S", "900")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+            start_new_session=True,
+        )
+    except subprocess.TimeoutExpired as e:
+        _log(f"[{name}] FAILED: subprocess hung past 3600 s; killed")
+        if e.stderr:
+            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                             else e.stderr.decode(errors="replace"))
+        return None
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        _log(f"[{name}] FAILED: subprocess rc={proc.returncode}")
+        return None
+    try:
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        r = out["configs"][name]
+        return {
+            "config": name,
+            "frame_ms": r["frame_ms"],
+            "mpix_per_s": r["mpix_per_s"],
+        }
+    except Exception as e:
+        _log(f"[{name}] FAILED to parse subprocess output: {e}")
+        return None
+
+
 def main():
     # Default to the FULL config list so the driver's BENCH_r*.json artifact
     # carries every headline number (VERDICT r1 #5), not just phong1080.
@@ -312,19 +358,30 @@ def main():
     frames = int(os.environ.get("BENCH_FRAMES", "10"))
     backend = os.environ.get("BENCH_BACKEND", "")
     _wait_for_device(float(os.environ.get("BENCH_DEVICE_WAIT_S", "900")))
+
+    if config == "all":
+        names = [
+            "cube512", "gouraud800", "textured1080", "phong1080",
+            "stress4k", "voxel540",
+        ]
+        results = {}
+        for n in names:
+            r = _run_config_isolated(n, frames)
+            if r is not None:
+                results[n] = r
+        if not results:
+            raise SystemExit("all bench configs failed")
+        _emit(results)
+        return
+
     enable_compilation_cache()
     if not backend:
         import jax
 
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
-    names = (
-        ["cube512", "gouraud800", "textured1080", "phong1080", "stress4k", "voxel540"]
-        if config == "all"
-        else [config]
-    )
     results = {}
-    for n in names:
+    for n in [config]:
         try:
             results[n] = (
                 bench_voxel(frames) if n == "voxel540"
@@ -334,7 +391,10 @@ def main():
             _log(f"[{n}] FAILED: {type(e).__name__}: {e}")
     if not results:
         raise SystemExit("all bench configs failed")
+    _emit(results)
 
+
+def _emit(results):
     headline = results.get("phong1080") or next(iter(results.values()))
 
     cpu = {}

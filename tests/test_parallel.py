@@ -149,17 +149,21 @@ def test_sharded_fused_matches_single(scene):
     )
 
 
-@pytest.mark.parametrize("dp,sp", [(2, 4), (8, 1)])
-def test_stream_comm_matches_single_device(scene, dp, sp):
+@pytest.mark.parametrize(
+    "dp,sp,backend", [(2, 4, "jnp"), (8, 1, "jnp"), (2, 4, "pallas")]
+)
+def test_stream_comm_matches_single_device(scene, dp, sp, backend):
     # comm_mode="stream": ppermute triangle shards around the dp ring
     # instead of all_gather (O(scene/n_dp) memory per device). The
     # cross-round merge is the same lexicographic (rhw, order) max, so
     # the raster is partition-exact; shading goes through the XLA planes
     # path (same last-ulp tolerance as the gathered comparisons).
+    # backend="pallas" covers the production rasterize_interp_pallas-
+    # inside-the-ring branch (sharding.py), not just the jnp reference.
     import dataclasses
 
     mesh = make_render_mesh(dp=dp, sp=sp)
-    cfg = dataclasses.replace(scene.config, comm_mode="stream")
+    cfg = dataclasses.replace(scene.config, comm_mode="stream", backend=backend)
     frame_s, depth_s = render_frame_sharded(
         scene.draws,
         scene.vertex_shader,
