@@ -247,6 +247,32 @@ def prep_fused_packed(
             m_dummy=m_dummy, origin=origin, kc=k,
         )
     form = getattr(config, "gather_form", None)
+    # Pair-budget (RenderConfig.pair_budget_frac): the sorted table is
+    # [real pairs | dummy tail] and the gather costs ~1 element/cycle ×
+    # gathered lanes (baselines/profile_gather_c64.py: exactly linear in
+    # lanes), so gather only the first `cap` columns; a lax.cond gathers
+    # the remainder IF total_pairs ever exceeds the budget (exact for any
+    # scene, just slower). total_pairs is the spill range end — the last
+    # offset entry (raster_pallas.bin_pairs layout).
+    frac = getattr(config, "pair_budget_frac", None)
+    if frac is None:
+        frac = 0.5 if n_slots > tile_auto_threshold else 1.0
+    n_table = ptri.shape[0]
+    cap = min(_cdiv(max(int(frac * n_table), 128), 128) * 128, n_table)
+    budgeted = mode == "pairs" and cap < n_table
+    total_pairs = off[-1] if budgeted else None
+
+    def gather(arr):
+        if not budgeted:
+            return _pair_gather(arr, ptri, form)
+        head = _pair_gather(arr, ptri[:cap], form)
+        tail = jax.lax.cond(
+            total_pairs > cap,
+            lambda: _pair_gather(arr, ptri[cap:], form),
+            lambda: jnp.zeros((arr.shape[0], n_table - cap), arr.dtype),
+        )
+        return jnp.concatenate([head, tail], axis=1)
+
     # Only the real field rows are gathered (i32: 14 of 16; f32: 9 base +
     # 3·C ctx of the 8-padded block — 33 of 40 at C=8); the sublane pad
     # rows are re-appended as zeros afterwards. XLA fuses the pad into the
@@ -255,11 +281,11 @@ def prep_fused_packed(
     # reads them — its chunk DMA copies whole 8-aligned row blocks.
     from f_renderer_tpu.pipeline.raster_pallas import _CTX0
 
-    bi = _pair_gather(tri_i32[:NF_I_REAL], ptri, form)
+    bi = gather(tri_i32[:NF_I_REAL])
     bi = jnp.pad(bi, ((0, NF_I - NF_I_REAL), (0, 0)))
     nf_f = tri_f32.shape[0]
     real_f = _CTX0 + 3 * n_ctx  # 9 base fields + 3·C ctx
-    bf = _pair_gather(tri_f32[:real_f], ptri, form)
+    bf = gather(tri_f32[:real_f])
     if real_f < nf_f:
         bf = jnp.pad(bf, ((0, nf_f - real_f), (0, 0)))
     origin_arr = jnp.stack(

@@ -74,6 +74,18 @@ class RenderConfig:
     # "2d" | "rowtake" | "flat" — baselines/profile_gather.py A/B). The
     # same values can be forced globally via the FR_GATHER env var.
     gather_form: str | None = None
+    # Static budget on the pair-order gather, as a fraction of the full
+    # k·m_pad bin table (None = auto: 0.5 above tile_auto_threshold slots,
+    # off below). The sorted bin table is [real pairs | dummy tail]; the
+    # gather is the stress4k prep mountain at ~1 element/cycle no matter
+    # the formulation (baselines/profile_gather.py, profile_gather_c64.py,
+    # profile_sortpayload.py — r4), and it scales linearly with gathered
+    # lanes, so gathering only the first frac·table columns saves
+    # (1-frac)·cost. Exact for ANY scene: if real pairs overflow the
+    # budget, a lax.cond gathers the remainder too (slower than frac=1 by
+    # one concat, never wrong). Measured pair occupancy on the stress4k
+    # bench sweep: 0.38 max, 0.22 typical (angles 0.0-1.05).
+    pair_budget_frac: float | None = None
     # Binning scheme: "pairs" (exact per-tile lists via pair expansion,
     # default) or "direct" (single-copy per-slot buckets, raster_pallas.
     # bin_direct — half the bin sort + gather at mid scene sizes, at the

@@ -254,6 +254,36 @@ def test_fused_direct_matches_jnp(rng):
     )
 
 
+@pytest.mark.parametrize("frac", [0.5, 0.02])
+def test_fused_pair_budget_exact(rng, frac):
+    """pair_budget_frac must be exact in BOTH branches: within budget
+    (frac=0.5 covers this 60-face scene) and overflow (frac=0.02 forces
+    total_pairs > cap, exercising the lax.cond remainder gather)."""
+    from f_renderer_tpu.pipeline.fused import render_fused_pallas
+    from f_renderer_tpu.pipeline.render import RenderConfig
+    from f_renderer_tpu.shaders.builtin import make_textured_shaders
+    from f_renderer_tpu.shaders.texture import TextureStack
+
+    buf = make_buffer(rng, n_faces=60, spread=2.5)
+    tex = np.zeros((8, 8, 4), np.uint8)
+    tex[::2, ::2] = (255, 64, 0, 255)
+    stack = TextureStack.create([tex])
+    _, ps = make_textured_shaders()
+    ps_u = {"textures": stack}
+    cfg = RenderConfig(
+        width=W, height=H, backend="pallas", tile=(32, 128),
+        pair_budget_frac=frac,
+    )
+    frame_d, depth_d, winner_d = render_fused_pallas(
+        buf, ps, ps_u, cfg, interpret=True
+    )
+    winner_j, depth_j = rasterize_jnp(buf, W, H)
+    np.testing.assert_array_equal(np.asarray(winner_d), np.asarray(winner_j))
+    np.testing.assert_allclose(
+        np.asarray(depth_d), np.asarray(depth_j), rtol=2.4e-7, atol=0.0
+    )
+
+
 def test_direct_mode_defused_above_threshold(rng, monkeypatch):
     """bin_mode="direct" must auto-fall-back to "pairs" for huge scenes:
     its ungated spill bucket is a projected hundreds-of-ms pathology at
