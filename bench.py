@@ -191,8 +191,14 @@ def bench_config(name: str, frames: int, backend: str):
     }
 
 
-def bench_voxel(frames: int, width=960, height=540, level=3):
-    """SVO raycast (voxel.rs workload: 960×540, level-3 random octree)."""
+def bench_voxel(frames: int, width=960, height=540, level=3,
+                traversal=None, name="voxel540"):
+    """SVO raycast (voxel.rs workload: 960×540, level-3 random octree).
+
+    ``traversal``: "fixed" (reference fixed-step parity semantics) or
+    "dda" (cell-exact non-parity fast path — the voxel540dda config;
+    VERDICT r3 #8). Defaults to BENCH_VOXEL_TRAVERSAL or "fixed".
+    """
     import jax
     import jax.numpy as jnp
 
@@ -206,7 +212,7 @@ def bench_voxel(frames: int, width=960, height=540, level=3):
     grid_color = jnp.asarray(grid_color)
     grid_hit = jnp.asarray(grid_hit)
     length = 2.0
-    traversal = os.environ.get("BENCH_VOXEL_TRAVERSAL", "fixed")
+    traversal = traversal or os.environ.get("BENCH_VOXEL_TRAVERSAL", "fixed")
     cfg = VoxelRenderConfig(
         width=width, height=height, level=level, length=length,
         traversal=traversal,
@@ -246,16 +252,16 @@ def bench_voxel(frames: int, width=960, height=540, level=3):
     packs = {frames: pack_args(frames), 2 * frames: pack_args(2 * frames)}
     t0 = time.time()
     chk = int(run_n(frames, *packs[frames]))
-    _log(f"[voxel540] compile+first({frames} frames): {time.time() - t0:.1f}s "
+    _log(f"[{name}] compile+first({frames} frames): {time.time() - t0:.1f}s "
          f"checksum={chk}")
     dt = _scan_timer(lambda n: int(run_n(n, *packs[n])), frames)
     mray = width * height / dt / 1e6
     _log(
-        f"[voxel540] {width}x{height} level={level} frame={dt * 1e3:.2f}ms "
+        f"[{name}] {width}x{height} level={level} frame={dt * 1e3:.2f}ms "
         f"fps={1 / dt:.1f} Mrays/s={mray:.1f}"
     )
     return {
-        "config": "voxel540",
+        "config": name,
         "width": width,
         "height": height,
         "frame_ms": dt * 1e3,
@@ -362,7 +368,7 @@ def main():
     if config == "all":
         names = [
             "cube512", "gouraud800", "textured1080", "phong1080",
-            "stress4k", "voxel540",
+            "stress4k", "voxel540", "voxel540dda",
         ]
         results = {}
         for n in names:
@@ -385,6 +391,8 @@ def main():
         try:
             results[n] = (
                 bench_voxel(frames) if n == "voxel540"
+                else bench_voxel(frames, traversal="dda", name="voxel540dda")
+                if n == "voxel540dda"
                 else bench_config(n, frames, backend)
             )
         except Exception as e:  # one bad config must not lose the others
