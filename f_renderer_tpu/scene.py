@@ -217,13 +217,26 @@ def make_uv_sphere(n_lat: int = 36, n_lon: int = 72, radius: float = 1.0) -> dic
 
 
 def make_instanced_soup(
-    n_tris: int, seed: int = 0, spread: float = 8.0, size: float = 0.08
+    n_tris: int, seed: int = 0, spread: float = 8.0, size: float = 0.08,
+    box: float | None = None,
 ) -> dict:
-    """Random triangle soup for stress benchmarks (BASELINE config #5)."""
+    """Random triangle soup for stress benchmarks (BASELINE config #5).
+
+    ``box``: if set, centers are uniform in the origin-centered cube
+    [-box, box]³ — a y-rotation-invariant, frustum-interior distribution
+    (pair it with a camera far enough that the cube never clips). The
+    default (box=None) is the r1-r3 distribution: x, y ∈ ±spread,
+    z ∈ [2, 30] — which put 25-90% of the faces THROUGH the frustum
+    planes per bench frame, silently truncated by clip_cap (BASELINE.md
+    r4 note); kept for the sharded tests that want clip-path coverage.
+    """
     rng = np.random.default_rng(seed)
-    centers = rng.uniform(
-        [-spread, -spread, 2.0], [spread, spread, 30.0], (n_tris, 3)
-    ).astype(np.float32)
+    if box is not None:
+        centers = rng.uniform(-box, box, (n_tris, 3)).astype(np.float32)
+    else:
+        centers = rng.uniform(
+            [-spread, -spread, 2.0], [spread, spread, 30.0], (n_tris, 3)
+        ).astype(np.float32)
     offs = rng.uniform(-size * 10, size * 10, (n_tris, 3, 3)).astype(np.float32)
     pos = centers[:, None, :] + offs * size / 0.08 * 0.08
     normal = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
