@@ -4,11 +4,14 @@ The reference forwards winit window/mouse events into the frame callback
 (vulkan_base.rs:803) and the phong app turns them into orbit / pan / zoom
 (phong.rs:214-311). A headless TPU host has no window, so the live-input
 path here is a raw-mode terminal (display.StdinKeys) feeding
-FrameEvent.keys, with the frame shown in-terminal (AsciiDisplay) — a real
-event → camera → render loop, not an offline orbit.
+FrameEvent.keys — plus real pointer input via xterm SGR-1006 mouse
+reports (FrameEvent.mouse) — with the frame shown in-terminal
+(AsciiDisplay): a real event → camera → render loop, not an offline
+orbit.
 
 Controls: a/d orbit left/right · w/s orbit up/down · h/j/k/l pan ·
-q/e zoom in/out · x quit.
+q/e zoom in/out · x quit · right-drag orbit · middle-drag pan ·
+wheel zoom (the phong.rs:214-311 mouse mapping).
 
 Usage:
   python examples/interactive_demo.py [--size 480x270] [--frames 0]
@@ -99,11 +102,31 @@ def main():
                 camera = cam.zoom(camera, 1.0)
             elif ch == "e":
                 camera = cam.zoom(camera, -1.0)
+        # Pointer path — the same mapping as the reference's winit handler
+        # (phong.rs:214-311): right-drag orbits, middle-drag pans, wheel
+        # zooms. Deltas arrive from the terminal's SGR-1006 reports.
+        buttons = getattr(step, "_buttons", set())
+        for ev in event.mouse:
+            if ev.kind == "press":
+                buttons.add(ev.button)
+            elif ev.kind == "release":
+                buttons.discard(ev.button)
+            elif ev.kind == "move":
+                # Terminal cells are ~8-16 px; scale cell deltas toward
+                # the reference's per-pixel ratios (phong.rs 0.005/px).
+                if 2 in buttons:
+                    camera = cam.orbit(camera, ev.dx * 8.0, ev.dy * 8.0)
+                elif 1 in buttons:
+                    camera = cam.pan(camera, ev.dx * 8.0, ev.dy * 8.0)
+            elif ev.kind == "wheel":
+                camera = cam.zoom(camera, ev.wheel)
+        step._buttons = buttons
         return render(camera.look_at()), camera
 
     camera = cam.Camera.create([0.0, 0.5, 4.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
-    source = ScriptedKeys(args.keys) if args.keys else StdinKeys()
-    print("controls: a/d w/s orbit · h/j/k/l pan · q/e zoom · x quit",
+    source = ScriptedKeys(args.keys) if args.keys else StdinKeys(mouse=True)
+    print("controls: a/d w/s orbit · h/j/k/l pan · q/e zoom · x quit · "
+          "right-drag orbit · middle-drag pan · wheel zoom",
           file=sys.stderr)
     camera = render_loop(
         step,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 import sys
 import time
 from typing import Callable, Optional
@@ -191,32 +192,133 @@ def save_frame(path: str, frame: np.ndarray) -> None:
 
 
 @dataclasses.dataclass
+class MouseEvent:
+    """One pointer event (winit WindowEvent analogue, phong.rs:214-311).
+
+    ``kind``: "press" | "release" | "move" | "wheel". ``button``:
+    0=left, 1=middle, 2=right (valid for press/release/move-with-button).
+    ``x, y``: cell/pixel position; ``dx, dy``: delta from the previous
+    position (CursorMoved's ``theta_x/theta_y`` in phong.rs:284-285);
+    ``wheel``: +1 scroll up / -1 scroll down (MouseScrollDelta::LineDelta).
+    """
+
+    kind: str
+    button: int = -1
+    x: float = 0.0
+    y: float = 0.0
+    dx: float = 0.0
+    dy: float = 0.0
+    wheel: float = 0.0
+
+
+@dataclasses.dataclass
 class FrameEvent:
     """Per-frame event record passed to the app callback (winit analogue).
 
     ``keys``: characters received from the loop's input source since the
     previous frame — the live-input analogue of the reference forwarding
     non-redraw winit events into render_func (vulkan_base.rs:803).
+    ``mouse``: pointer events decoded since the previous frame (the
+    CursorMoved / MouseInput / MouseWheel stream of phong.rs:214-311).
     """
 
     index: int
     time: float
     dt: float
     keys: str = ""
+    mouse: tuple = ()
 
 
-class StdinKeys:
-    """Non-blocking raw-mode keyboard input from a controlling terminal.
+# Complete SGR-1006 mouse report / a prefix of one (split-read buffering).
+_SGR_RE = re.compile(r"\x1b\[<(\d+);(\d+);(\d+)([Mm])")
+_SGR_PREFIX_RE = re.compile(r"\x1b(\[(<(\d+(;(\d+(;(\d+)?)?)?)?)?)?)?$")
 
-    The headless-host stand-in for the reference's winit mouse/scroll
-    events (phong.rs:214-311): puts the tty in cbreak mode and drains
-    pending characters each frame without blocking. On a non-tty stdin
-    (pipes, CI) it degrades to an always-empty source.
+
+class SgrMouseParser:
+    """Incremental decoder for xterm SGR-1006 mouse reports mixed into a
+    terminal byte stream.
+
+    A terminal with ``?1002h ?1006h`` set interleaves ``ESC [ < Cb;Cx;Cy
+    (M|m)`` reports with ordinary keystrokes. ``feed`` splits one chunk
+    into (plain keys, decoded MouseEvents); partial sequences split
+    across reads are buffered until complete. Cb bits: 0-1 button
+    (0=left 1=middle 2=right), +32 motion, +64 wheel (64 up / 65 down);
+    trailing M = press/motion, m = release.
+
+    Mirrors the reference's winit event granularity: presses/releases
+    track button state, motion reports carry cursor deltas
+    (phong.rs:282-311), wheel maps to LineDelta y = ±1 (phong.rs:217-238).
     """
 
     def __init__(self):
+        self._buf = ""
+        self._last_xy = None
+
+    def feed(self, data: str):
+        keys = []
+        events = []
+        buf = self._buf + data
+        i = 0
+        n = len(buf)
+        while i < n:
+            ch = buf[i]
+            if ch != "\x1b":
+                keys.append(ch)
+                i += 1
+                continue
+            m = _SGR_RE.match(buf, i)
+            if m:
+                cb, cx, cy = (int(v) for v in m.group(1, 2, 3))
+                final = m.group(4)
+                x, y = float(cx), float(cy)
+                if cb >= 64:
+                    events.append(
+                        MouseEvent("wheel", x=x, y=y,
+                                   wheel=1.0 if cb & 1 == 0 else -1.0)
+                    )
+                else:
+                    button = cb & 3
+                    if cb & 32:
+                        px, py = self._last_xy or (x, y)
+                        events.append(
+                            MouseEvent("move", button=button, x=x, y=y,
+                                       dx=x - px, dy=y - py)
+                        )
+                    else:
+                        kind = "press" if final == "M" else "release"
+                        events.append(
+                            MouseEvent(kind, button=button, x=x, y=y)
+                        )
+                    self._last_xy = (x, y)
+                i = m.end()
+                continue
+            if _SGR_PREFIX_RE.match(buf, i) and n - i < 32:
+                # Possibly-incomplete report at the chunk tail: hold it.
+                break
+            keys.append(ch)
+            i += 1
+        self._buf = buf[i:]
+        return "".join(keys), events
+
+
+class StdinKeys:
+    """Non-blocking raw-mode keyboard (and optionally mouse) input from a
+    controlling terminal.
+
+    The headless-host stand-in for the reference's winit mouse/scroll
+    events (phong.rs:214-311): puts the tty in cbreak mode and drains
+    pending bytes each frame without blocking. With ``mouse=True`` it
+    additionally switches the terminal into button-event tracking with
+    SGR-1006 encoding (``?1002h ?1006h``) and decodes pointer reports out
+    of the stream (:class:`SgrMouseParser`) — actual drag/wheel deltas,
+    the one reference input modality keyboard polling alone lacks. On a
+    non-tty stdin (pipes, CI) it degrades to an always-empty source.
+    """
+
+    def __init__(self, mouse: bool = False):
         self._fd = None
         self._saved = None
+        self._mouse = None
         try:
             if sys.stdin.isatty():
                 import termios
@@ -225,23 +327,46 @@ class StdinKeys:
                 self._fd = sys.stdin.fileno()
                 self._saved = termios.tcgetattr(self._fd)
                 tty.setcbreak(self._fd)
+                if mouse:
+                    self._mouse = SgrMouseParser()
+                    sys.stdout.write("\x1b[?1002h\x1b[?1006h")
+                    sys.stdout.flush()
         except Exception:
             self._fd = None
 
-    def poll(self) -> str:
+    def _drain(self) -> str:
         if self._fd is None:
             return ""
         import select
 
         out = []
         while select.select([self._fd], [], [], 0)[0]:
-            ch = os.read(self._fd, 1).decode(errors="ignore")
-            if not ch:
+            chunk = os.read(self._fd, 1024).decode(errors="ignore")
+            if not chunk:
                 break
-            out.append(ch)
+            out.append(chunk)
         return "".join(out)
 
+    def poll(self) -> str:
+        data = self._drain()
+        if self._mouse is not None:
+            keys, _ = self._mouse.feed(data)
+            return keys
+        return data
+
+    def poll_events(self):
+        """Drain pending input → (keys, tuple of MouseEvents)."""
+        data = self._drain()
+        if self._mouse is None:
+            return data, ()
+        keys, events = self._mouse.feed(data)
+        return keys, tuple(events)
+
     def close(self) -> None:
+        if self._mouse is not None:
+            sys.stdout.write("\x1b[?1002l\x1b[?1006l")
+            sys.stdout.flush()
+            self._mouse = None
         if self._fd is not None and self._saved is not None:
             import termios
 
@@ -279,8 +404,15 @@ def render_loop(
     try:
         while frames == 0 or i < frames:
             now = time.time()
-            keys = input_source.poll() if input_source is not None else ""
-            event = FrameEvent(index=i, time=now, dt=now - t_prev, keys=keys)
+            if input_source is None:
+                keys, mouse = "", ()
+            elif hasattr(input_source, "poll_events"):
+                keys, mouse = input_source.poll_events()
+            else:
+                keys, mouse = input_source.poll(), ()
+            event = FrameEvent(
+                index=i, time=now, dt=now - t_prev, keys=keys, mouse=mouse
+            )
             t_prev = now
             frame, state = step(state, event)
             if frame is None:  # step signals quit

@@ -133,3 +133,76 @@ def test_render_loop_live_input():
                 input_source=src)
     assert seen == ["ab", "", "x"]
     assert src.closed
+
+def test_sgr_mouse_parser_decodes_reports():
+    """SGR-1006 reports decode to press/move/release/wheel with deltas
+    (the CursorMoved/MouseInput/MouseWheel stream, phong.rs:214-311)."""
+    from f_renderer_tpu.display import SgrMouseParser
+
+    p = SgrMouseParser()
+    # right press at (10,5), drag to (14,8), release; wheel up; key 'a'.
+    keys, ev = p.feed(
+        "\x1b[<2;10;5M\x1b[<34;14;8M\x1b[<2;14;8m\x1b[<64;14;8Ma"
+    )
+    assert keys == "a"
+    kinds = [e.kind for e in ev]
+    assert kinds == ["press", "move", "release", "wheel"]
+    assert ev[0].button == 2 and (ev[0].x, ev[0].y) == (10.0, 5.0)
+    assert (ev[1].dx, ev[1].dy) == (4.0, 3.0) and ev[1].button == 2
+    assert ev[3].wheel == 1.0
+    # wheel down is cb=65
+    _, ev2 = p.feed("\x1b[<65;1;1M")
+    assert ev2[0].wheel == -1.0
+
+
+def test_sgr_mouse_parser_split_across_reads():
+    """A report split across poll chunks is buffered, not mangled."""
+    from f_renderer_tpu.display import SgrMouseParser
+
+    p = SgrMouseParser()
+    keys, ev = p.feed("q\x1b[<2;1")
+    assert keys == "q" and ev == []
+    keys, ev = p.feed("0;5Mw")
+    assert keys == "w"
+    assert len(ev) == 1 and ev[0].kind == "press" and ev[0].x == 10.0
+
+
+def test_sgr_mouse_parser_passes_other_escapes():
+    """Non-mouse escape sequences flow through as plain characters."""
+    from f_renderer_tpu.display import SgrMouseParser
+
+    p = SgrMouseParser()
+    keys, ev = p.feed("\x1b[Aup")
+    assert keys == "\x1b[Aup" and ev == []
+
+
+def test_render_loop_forwards_mouse_events():
+    """poll_events sources populate FrameEvent.mouse (pointer analogue of
+    the winit event forwarding, vulkan_base.rs:803)."""
+    from f_renderer_tpu.display import MouseEvent, NullDisplay, render_loop
+
+    class Source:
+        def __init__(self):
+            self.script = [
+                ("", (MouseEvent("press", button=2, x=1, y=1),)),
+                ("", (MouseEvent("move", button=2, x=3, y=2, dx=2, dy=1),)),
+                ("x", ()),
+            ]
+
+        def poll_events(self):
+            return self.script.pop(0) if self.script else ("", ())
+
+    seen = []
+
+    def step(state, event):
+        seen.append((event.keys, event.mouse))
+        if "x" in event.keys:
+            return None, state
+        return np.zeros((4, 4, 4), np.uint8), state
+
+    render_loop(step, 0, NullDisplay(), frames=10, print_fps=False,
+                input_source=Source())
+    assert len(seen) == 3
+    assert seen[0][1][0].kind == "press"
+    assert seen[1][1][0].dx == 2 and seen[1][1][0].dy == 1
+    assert seen[2][0] == "x"
