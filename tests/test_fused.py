@@ -116,6 +116,23 @@ def test_tile_auto_32row():
     fused_vs_jnp(scene)
 
 
+def test_pair_budget_forms_exact():
+    """Both pair-budget gather forms (8 uniform cond-gated segments; the
+    explicit frac head + cond tail) must be exact vs the unbudgeted
+    gather: pairs past total_pairs are zero-filled, which the kernel's
+    cover test rejects (maxx=0)."""
+    scene = make_phong_scene(128, 96, meshes=[make_cube()], clip_cap=16)
+    for over in (
+        dict(tile_auto_threshold=0),  # auto: segments=8 + unroll2 + th64
+        dict(tile_auto_threshold=0, pair_budget_segments=3),
+        dict(tile_auto_threshold=0, pair_budget_frac=0.25),
+    ):
+        s = dataclasses.replace(
+            scene, config=dataclasses.replace(scene.config, **over)
+        )
+        fused_vs_jnp(s)
+
+
 def test_wide_texture_fused():
     """>128-px-wide textures run IN the fused kernel (packed paged stack)."""
     from f_renderer_tpu.scene import make_checker_texture
