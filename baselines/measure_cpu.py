@@ -34,17 +34,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CONFIGS = [
-    "cube512", "gouraud800", "textured1080", "phong1080", "stress4k",
-    "voxel540",
+    "cube512", "cube1080", "gouraud800", "textured1080", "phong1080",
+    "stress4k", "voxel540",
 ]
 # Full-frame repetitions per config; heavy configs get fewer.
 FRAMES = {
-    "cube512": 10, "gouraud800": 5, "textured1080": 3, "phong1080": 3,
-    "stress4k": 1, "voxel540": 3,
+    "cube512": 10, "cube1080": 5, "gouraud800": 5, "textured1080": 3,
+    "phong1080": 3, "stress4k": 1, "voxel540": 3,
 }
 # Shader per config — must match bench.py's build_scene exactly.
 SHADER_FOR = {
     "cube512": "phong",
+    "cube1080": "flat",
     "gouraud800": "gouraud",
     "textured1080": "textured",
     "phong1080": "phong",
@@ -116,6 +117,7 @@ def measure(name: str) -> dict:
         for t in np.asarray(scene.ps_uniform["textures"].data)
     ]
     kind = {
+        "flat": native.SHADER_FLAT,
         "phong": native.SHADER_PHONG,
         "gouraud": native.SHADER_GOURAUD,
         "textured": native.SHADER_TEXTURED,

@@ -56,6 +56,19 @@ def build_scene(name: str, backend: str):
 
     if name == "cube512":
         return make_phong_scene(512, 512, meshes=[make_cube()], backend=backend)
+    if name == "cube1080":
+        from f_renderer_tpu.camera import Camera
+
+        # BASELINE config #1's workload shape ("flat-shaded spinning cube
+        # with z-buffer") at the 1080p target resolution of the ≥1 Gpix/s
+        # shaded-throughput bar — the low-triangle-density point of the
+        # throughput curve (r4 probe: flat 1152 / per-pixel phong 1026
+        # Mpix/s; density, not shading, is what moves the number).
+        cam = Camera.create([0.0, 0.5, 4.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+        return make_phong_scene(
+            1920, 1080, meshes=[make_cube()], camera=cam, backend=backend,
+            shader="flat",
+        )
     if name == "gouraud800":
         from f_renderer_tpu.camera import Camera
 
@@ -381,7 +394,7 @@ def main():
 
     if config == "all":
         names = [
-            "cube512", "gouraud800", "textured1080", "phong1080",
+            "cube512", "cube1080", "gouraud800", "textured1080", "phong1080",
             "stress4k", "voxel540", "voxel540dda",
         ]
         results = {}
