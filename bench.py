@@ -196,10 +196,15 @@ def bench_config(name: str, frames: int, backend: str):
     chk = int(run_n(frames, scene.vs_uniform, scene.ps_uniform, draws))
     _log(f"[{name}] compile+first({frames} frames): {time.time() - t0:.1f}s "
          f"checksum={chk}")
-    dt = _scan_timer(
-        lambda n: int(run_n(n, scene.vs_uniform, scene.ps_uniform, draws)),
-        frames,
-    )
+    from f_renderer_tpu.utils.metrics import xprof_trace
+
+    # BENCH_TRACE_DIR=<dir>: capture an XProf/TensorBoard device trace of
+    # the timed region (utils.metrics.xprof_trace; no-op when unset).
+    with xprof_trace(os.environ.get("BENCH_TRACE_DIR")):
+        dt = _scan_timer(
+            lambda n: int(run_n(n, scene.vs_uniform, scene.ps_uniform, draws)),
+            frames,
+        )
     mpix = cfg.width * cfg.height / dt / 1e6
     mtris = n_tris / dt / 1e6
     _log(

@@ -88,3 +88,19 @@ class StageTimer:
                 s += f" ({pixels / m / 1e6:.1f} Mpix/s)"
             parts.append(s)
         return "; ".join(parts)
+
+
+def xprof_trace(log_dir):
+    """Deep-profiling scope: a ``jax.profiler.trace`` context manager that
+    captures device (TPU) and host timelines for TensorBoard/XProf, or a
+    no-op when ``log_dir`` is falsy — so call sites can be wired
+    unconditionally (bench.py honors ``BENCH_TRACE_DIR``). The everyday
+    fps/Mpix case stays on :class:`StageTimer`; this is the §5 "tracing"
+    analogue of the reference's lone fps println (phong.rs:383-384)."""
+    import contextlib
+
+    if not log_dir:
+        return contextlib.nullcontext()
+    import jax.profiler
+
+    return jax.profiler.trace(log_dir)
