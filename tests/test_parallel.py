@@ -36,23 +36,39 @@ def scene():
     return make_phong_scene(128, 96, meshes=[make_cube(), cube2], clip_cap=64)
 
 
+@pytest.fixture(scope="module")
+def ref(scene):
+    """Single-device reference frame/depth, rendered once per module."""
+    frame, depth, _ = scene.render()
+    return np.asarray(frame), np.asarray(depth)
+
+
+def _render_sharded_jit(scene, cfg, mesh):
+    """Run the sharded render as ONE jitted program (the production shape:
+    bench/demos always jit). Eagerly dispatching the pack-before-gather
+    prep runs hundreds of sub-second op compiles that the persistent
+    compile cache won't store (min_compile_time filter) — measured
+    100-400 s per test on this 1-core host vs seconds jitted."""
+
+    @jax.jit
+    def step(vs_u, ps_u, draws):
+        return render_frame_sharded(
+            list(draws), scene.vertex_shader, vs_u,
+            scene.pixel_shader, ps_u, cfg, mesh,
+        )
+
+    return step(scene.vs_uniform, scene.ps_uniform, tuple(scene.draws))
+
+
 def test_requires_8_devices():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
 
 
 @pytest.mark.parametrize("dp,sp", [(1, 8), (2, 4), (4, 2), (8, 1)])
-def test_sharded_matches_single_device(scene, dp, sp):
+def test_sharded_matches_single_device(scene, ref, dp, sp):
     mesh = make_render_mesh(dp=dp, sp=sp)
-    frame_s, depth_s = render_frame_sharded(
-        scene.draws,
-        scene.vertex_shader,
-        scene.vs_uniform,
-        scene.pixel_shader,
-        scene.ps_uniform,
-        scene.config,
-        mesh,
-    )
-    frame_1, depth_1, _ = scene.render()
+    frame_s, depth_s = _render_sharded_jit(scene, scene.config, mesh)
+    frame_1, depth_1 = ref
     # Fusion/contraction differs between the shard_map program and the
     # single-device jit — a last-ulp tolerance (≤1 u8 on <0.5% of pixels)
     # absorbs it; the partition itself is exact (SURVEY.md §7.3.5 policy).
@@ -61,6 +77,27 @@ def test_sharded_matches_single_device(scene, dp, sp):
         np.asarray(depth_s), np.asarray(depth_1), rtol=1e-5, atol=1e-7
     )
     assert (np.asarray(frame_s)[..., 0] != 30).any()
+
+
+def test_sharded_eager_matches_jit(scene):
+    """Eager (un-jitted) dispatch of the sharded API must agree with the
+    jitted program — the one eager-path test (the rest jit for suite
+    speed; see _render_sharded_jit)."""
+    mesh = make_render_mesh(dp=2, sp=4)
+    frame_e, depth_e = render_frame_sharded(
+        scene.draws,
+        scene.vertex_shader,
+        scene.vs_uniform,
+        scene.pixel_shader,
+        scene.ps_uniform,
+        scene.config,
+        mesh,
+    )
+    frame_j, depth_j = _render_sharded_jit(scene, scene.config, mesh)
+    _assert_frames_close(frame_e, frame_j)
+    np.testing.assert_allclose(
+        np.asarray(depth_e), np.asarray(depth_j), rtol=1e-5, atol=1e-7
+    )
 
 
 def test_sharded_under_jit(scene):
@@ -104,15 +141,7 @@ def test_sharded_fused_large_scene():
     frame_1, depth_1, _ = scene.render()
 
     mesh = make_render_mesh(dp=2, sp=4)
-    frame_n, depth_n = render_frame_sharded(
-        scene.draws,
-        scene.vertex_shader,
-        scene.vs_uniform,
-        scene.pixel_shader,
-        scene.ps_uniform,
-        scene.config,
-        mesh,
-    )
+    frame_n, depth_n = _render_sharded_jit(scene, scene.config, mesh)
     _assert_frames_close(frame_n, frame_1)
     np.testing.assert_allclose(
         np.asarray(depth_n), np.asarray(depth_1), rtol=1e-5, atol=1e-7
@@ -134,15 +163,7 @@ def test_sharded_fused_matches_single(scene):
     frame_1, depth_1, _ = scene_p.render()
 
     mesh = make_render_mesh(jax.devices()[:4], dp=2, sp=2)
-    frame_n, depth_n = render_frame_sharded(
-        scene.draws,
-        scene.vertex_shader,
-        scene.vs_uniform,
-        scene.pixel_shader,
-        scene.ps_uniform,
-        cfg,
-        mesh,
-    )
+    frame_n, depth_n = _render_sharded_jit(scene, cfg, mesh)
     _assert_frames_close(frame_n, frame_1)
     np.testing.assert_allclose(
         np.asarray(depth_n), np.asarray(depth_1), rtol=1e-5, atol=1e-7
@@ -152,7 +173,7 @@ def test_sharded_fused_matches_single(scene):
 @pytest.mark.parametrize(
     "dp,sp,backend", [(2, 4, "jnp"), (8, 1, "jnp"), (2, 4, "pallas")]
 )
-def test_stream_comm_matches_single_device(scene, dp, sp, backend):
+def test_stream_comm_matches_single_device(scene, ref, dp, sp, backend):
     # comm_mode="stream": ppermute triangle shards around the dp ring
     # instead of all_gather (O(scene/n_dp) memory per device). The
     # cross-round merge is the same lexicographic (rhw, order) max, so
@@ -164,16 +185,8 @@ def test_stream_comm_matches_single_device(scene, dp, sp, backend):
 
     mesh = make_render_mesh(dp=dp, sp=sp)
     cfg = dataclasses.replace(scene.config, comm_mode="stream", backend=backend)
-    frame_s, depth_s = render_frame_sharded(
-        scene.draws,
-        scene.vertex_shader,
-        scene.vs_uniform,
-        scene.pixel_shader,
-        scene.ps_uniform,
-        cfg,
-        mesh,
-    )
-    frame_1, depth_1, _ = scene.render()
+    frame_s, depth_s = _render_sharded_jit(scene, cfg, mesh)
+    frame_1, depth_1 = ref
     _assert_frames_close(frame_s, frame_1, max_diff=2, budget=0.005)
     np.testing.assert_allclose(
         np.asarray(depth_s), np.asarray(depth_1), rtol=1e-5, atol=1e-7
