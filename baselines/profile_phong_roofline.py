@@ -47,14 +47,13 @@ from __future__ import annotations
 import os
 import sys
 
+# JAX_PLATFORMS=cpu set before any jax import keeps this replica local;
+# (the axon sitecustomize still registers its plugin — that's harmless, it
+# just isn't selected. Stripping PYTHONPATH here would be a no-op: sys.path
+# was already built at interpreter startup — re-exec like tests/conftest.py
+# if full isolation is ever needed.)
 os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-if ".axon_site" in os.environ.get("PYTHONPATH", ""):
-    os.environ["PYTHONPATH"] = ":".join(
-        p
-        for p in os.environ["PYTHONPATH"].split(":")
-        if ".axon_site" not in p
-    )
 
 import numpy as np
 

@@ -127,8 +127,11 @@ def build_scene(name: str, backend: str):
         cam = Camera.create([0.0, 0.0, -12.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
         # clip_cap sizes the fixed-shape clipped-face arrays processed
         # every frame (measured 24.0 ms at cap=8192 vs 8.1 at cap=128,
-        # /tmp/geo_split probe); the frustum-interior scene clips ≤8
-        # faces at any bench angle, so 512 is 64× headroom at ~9 ms.
+        # /tmp/geo_split probe). The frustum-interior scene clips
+        # 0/0/8/44/7 faces at the bench angles 0.10/0.35/0.55/0.80/1.05
+        # (measured) — 512 is ~11× headroom over the worst angle at
+        # ~9 ms of fixed cost. Do NOT lower it near 44: past the cap,
+        # faces are silently dropped (the r1-r3 honesty bug).
         return make_phong_scene(
             3840, 2160, meshes=[soup], camera=cam, clip_cap=512, backend=backend
         )
@@ -303,6 +306,36 @@ def bench_voxel(frames: int, width=960, height=540, level=3,
     }
 
 
+def _run_group(cmd, timeout: float, env=None):
+    """Run ``cmd`` in its own process group; on timeout SIGKILL the whole
+    group (a wedged tunnel helper survives subprocess.run's child-only
+    kill and keeps the device locked for every retry).
+
+    Returns (stdout, stderr, returncode) — returncode None on timeout.
+    """
+    import signal
+    import subprocess
+
+    proc = subprocess.Popen(
+        cmd,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=env,
+        start_new_session=True,
+    )
+    try:
+        out, err = proc.communicate(timeout=timeout)
+        return out, err, proc.returncode
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        out, err = proc.communicate()
+        return out, err, None
+
+
 def _wait_for_device(max_s: float) -> None:
     """Retry backend init for up to ``max_s`` seconds.
 
@@ -319,19 +352,19 @@ def _wait_for_device(max_s: float) -> None:
     while True:
         # A wedged tunnel can make the probe HANG rather than fail fast
         # (BENCH_r03 died on an uncaught TimeoutExpired here). A hang is just
-        # another "backend unavailable": kill the probe's whole process group
-        # (start_new_session so a stuck grandchild can't linger) and retry.
+        # another "backend unavailable": kill the probe's whole process GROUP
+        # (start_new_session makes the child a session leader, so killpg
+        # reaps stuck tunnel-helper grandchildren too — subprocess.run's
+        # own timeout kill only signals the direct child) and retry.
         ok = False
         try:
-            proc = subprocess.run(
+            _, _, rc = _run_group(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True,
                 timeout=max(60, min(240, deadline - time.time() + 240)),
-                start_new_session=True,
             )
-            ok = proc.returncode == 0
-        except subprocess.TimeoutExpired:
-            _log("device probe hung (timeout); treating as unavailable")
+            ok = rc == 0
+            if rc is None:
+                _log("device probe hung (timeout); treating as unavailable")
         except OSError as e:
             _log(f"device probe failed to launch: {e}")
         if ok:
@@ -352,32 +385,28 @@ def _run_config_isolated(name: str, frames: int) -> dict | None:
     state left by the 1M-tri programs). Per-config subprocesses also
     isolate failures; the persistent compile cache keeps re-init cheap.
     """
-    import subprocess
     import sys
 
     env = dict(os.environ, BENCH_CONFIG=name, BENCH_FRAMES=str(frames))
     env["BENCH_DEVICE_WAIT_S"] = env.get("BENCH_DEVICE_WAIT_S", "900")
     try:
-        proc = subprocess.run(
+        stdout, stderr, rc = _run_group(
             [sys.executable, os.path.abspath(__file__)],
-            capture_output=True,
-            text=True,
-            env=env,
             timeout=3600,
-            start_new_session=True,
+            env=env,
         )
-    except subprocess.TimeoutExpired as e:
-        _log(f"[{name}] FAILED: subprocess hung past 3600 s; killed")
-        if e.stderr:
-            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
-                             else e.stderr.decode(errors="replace"))
+    except OSError as e:
+        _log(f"[{name}] FAILED to launch: {e}")
         return None
-    sys.stderr.write(proc.stderr)
-    if proc.returncode != 0:
-        _log(f"[{name}] FAILED: subprocess rc={proc.returncode}")
+    sys.stderr.write(stderr or "")
+    if rc is None:
+        _log(f"[{name}] FAILED: subprocess hung past 3600 s; group killed")
+        return None
+    if rc != 0:
+        _log(f"[{name}] FAILED: subprocess rc={rc}")
         return None
     try:
-        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        out = json.loads(stdout.strip().splitlines()[-1])
         r = out["configs"][name]
         return {
             "config": name,
@@ -418,19 +447,14 @@ def main():
 
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
-    results = {}
-    for n in [config]:
-        try:
-            results[n] = (
-                bench_voxel(frames) if n == "voxel540"
-                else bench_voxel(frames, traversal="dda", name="voxel540dda")
-                if n == "voxel540dda"
-                else bench_config(n, frames, backend)
-            )
-        except Exception as e:  # one bad config must not lose the others
-            _log(f"[{n}] FAILED: {type(e).__name__}: {e}")
-    if not results:
-        raise SystemExit("all bench configs failed")
+    results = {
+        config: (
+            bench_voxel(frames) if config == "voxel540"
+            else bench_voxel(frames, traversal="dda", name="voxel540dda")
+            if config == "voxel540dda"
+            else bench_config(config, frames, backend)
+        )
+    }
     _emit(results)
 
 

@@ -253,6 +253,7 @@ class SgrMouseParser:
     def __init__(self):
         self._buf = ""
         self._last_xy = None
+        self._stall = 0
 
     def feed(self, data: str):
         keys = []
@@ -297,7 +298,20 @@ class SgrMouseParser:
                 break
             keys.append(ch)
             i += 1
-        self._buf = buf[i:]
+        held = buf[i:]
+        # A bare ESC keypress is also a valid report prefix; if the held
+        # prefix survives two idle polls unchanged, no continuation is
+        # coming — release it as plain keys (ESC reaches event.keys ~2
+        # frames late instead of never).
+        if held and held == self._buf and not data:
+            self._stall += 1
+        else:
+            self._stall = 0
+        if self._stall >= 2:
+            keys.extend(held)
+            held = ""
+            self._stall = 0
+        self._buf = held
         return "".join(keys), events
 
 

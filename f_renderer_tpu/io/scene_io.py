@@ -34,7 +34,9 @@ def save_scene(path: str, scene) -> None:
     for attr in ("light_pos", "light_color"):
         val = getattr(scene.pixel_shader, attr, None)
         if val is not None:
-            shader_meta[attr] = list(val)
+            # float() each element: the builtins accept array-typed light
+            # params (jnp scalars are not JSON-serializable).
+            shader_meta[attr] = [float(v) for v in val]
 
     arrays = {}
     meta = {

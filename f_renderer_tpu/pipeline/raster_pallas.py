@@ -140,12 +140,9 @@ def pack_setup(
     c01 = c01 - thr01
     c20 = c20 - thr20
     area2 = area2 - (thr01 + thr12 + thr20)
-    ps_tl = (
-        tri.ps_index.astype(jnp.int32)
-        | (tri.top_left[0].astype(jnp.int32) << 8)
-        | (tri.top_left[1].astype(jnp.int32) << 9)
-        | (tri.top_left[2].astype(jnp.int32) << 10)
-    )
+    # The top_left flags used to ride in bits 8-10 of this field; the
+    # fill-rule fold above made them dead (every _PS read is & PS_MASK).
+    ps_tl = tri.ps_index.astype(jnp.int32)
     cols_i = jnp.stack(
         [
             a01,

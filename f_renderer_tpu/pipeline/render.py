@@ -169,8 +169,8 @@ def build_triangles(
     config: RenderConfig,
 ):
     """Geometry stage over all draws → one TriangleBuffer + stats."""
-    # ps_index shares its packed i32 field with the top-left flags in the
-    # pallas raster setup (raster_pallas._PS, bits 8..10).
+    # ps_index is packed into an i32 setup field (raster_pallas._PS) whose
+    # kernel reads mask with PS_MASK = 0xFF.
     assert len(draws) <= 256, "at most 256 draws per frame"
     bufs = []
     order_base = 0

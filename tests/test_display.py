@@ -206,3 +206,22 @@ def test_render_loop_forwards_mouse_events():
     assert seen[0][1][0].kind == "press"
     assert seen[1][1][0].dx == 2 and seen[1][1][0].dy == 1
     assert seen[2][0] == "x"
+
+
+def test_scene_save_array_light_params(tmp_path):
+    """Array-typed light params (the builtins jnp.asarray them) must
+    serialize — scene_io float()s each element before json.dumps."""
+    import jax.numpy as jnp
+
+    from f_renderer_tpu.io.scene_io import load_scene, save_scene
+    from f_renderer_tpu.scene import make_cube, make_phong_scene
+    from f_renderer_tpu.shaders import make_phong_shaders
+
+    scene = make_phong_scene(16, 16, meshes=[make_cube()])
+    vs, ps = make_phong_shaders(light_pos=jnp.asarray([1.2, 1.0, 2.0]))
+    scene.vertex_shader, scene.pixel_shader = vs, ps
+    path = str(tmp_path / "scene.npz")
+    save_scene(path, scene)
+    loaded = load_scene(path)
+    got = tuple(float(v) for v in loaded.pixel_shader.light_pos)
+    assert got == pytest.approx((1.2, 1.0, 2.0))  # f32-rounded on the way in
