@@ -37,6 +37,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
+# Inner-loop formulation (A/B knob, baselines/profile_sampler_taps.py):
+#   "taps" — select each pixel's 4 raw packed texels inside the (row, page)
+#            loop (2 compares + 4 selects/iter) and defer ALL weight math +
+#            u8 unpacking to one post-loop block per texture (~15 ops/iter).
+#   "rows" — the r2-r4 body: per-row weight folding + per-tap unpack-fma
+#            (~44 ops/iter, the 60%-of-phong1080 roofline line item).
+import os as _os
+
+TAP_MODE = _os.environ.get("FR_SAMPLER", "taps")
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -147,41 +157,124 @@ def sample_packed_planar(
             p_hi = jnp.clip(_rmax(jnp.where(sel, px2, -1)), -1, pages - 1)
         base_t = t * hmax * pages
 
-        def tap_accum(acc, row, page, wy_row):
-            trow = jnp.broadcast_to(tex_ref[pl.ds(row, 1), :], shape)
-            g1 = jnp.take_along_axis(trow, lane1, axis=1)
-            g2 = jnp.take_along_axis(trow, lane2, axis=1)
-            if pages > 1:
-                w1 = jnp.where(px1 == page, wx1, 0.0) * wy_row
-                w2 = jnp.where(px2 == page, wx2, 0.0) * wy_row
-            else:
-                w1 = wx1 * wy_row
-                w2 = wx2 * wy_row
-            out = [
-                acc[c] + w1 * _unpack_u8_raw(g1, c) + w2 * _unpack_u8_raw(g2, c)
+        if TAP_MODE == "taps":
+            # Raw-tap selection: the loop only RESOLVES each pixel's four
+            # packed texels (t11=(y1,x1), t12=(y1,x2), t21=(y2,x1),
+            # t22=(y2,x2)) via i32 selects; weights + unpack + fma happen
+            # ONCE per texture after the loop. ~15 vector ops/iteration vs
+            # ~44 for the per-row weight-fold body — yet measured only
+            # textured1080 3.37 → 3.27 ms, phong1080 8.27 → 8.42 (noise)
+            # in isolated paired A/Bs (profile_sampler_taps.py): the loop
+            # is LATENCY/CONTROL-bound per iteration (dynamic row load +
+            # gathers + fori_loop overhead), not issue-bound, so the
+            # arithmetic diet barely moves it. Kept (never worse, bit-
+            # identical checksums, and the lighter body is the base for
+            # iteration-count reductions). Non-sel pixels resolve garbage
+            # taps but their weights are sel-masked to 0.0 and u8 unpack is
+            # always finite, so they contribute exact zeros, as before.
+            def tap_select(taps, yy, row, page):
+                t11, t12, t21, t22 = taps
+                trow = jnp.broadcast_to(tex_ref[pl.ds(row, 1), :], shape)
+                g1 = jnp.take_along_axis(trow, lane1, axis=1)
+                g2 = jnp.take_along_axis(trow, lane2, axis=1)
+                my1 = y1 == yy
+                my2 = y2 == yy
+                if pages > 1:
+                    mp1 = px1 == page
+                    mp2 = px2 == page
+                    t11 = jnp.where(my1 & mp1, g1, t11)
+                    t12 = jnp.where(my1 & mp2, g2, t12)
+                    t21 = jnp.where(my2 & mp1, g1, t21)
+                    t22 = jnp.where(my2 & mp2, g2, t22)
+                else:
+                    t11 = jnp.where(my1, g1, t11)
+                    t12 = jnp.where(my1, g2, t12)
+                    t21 = jnp.where(my2, g1, t21)
+                    t22 = jnp.where(my2, g2, t22)
+                return (t11, t12, t21, t22)
+
+            def y_body(yy, taps):
+                if pages == 1:
+                    return tap_select(taps, yy, base_t + yy, 0)
+
+                def p_body(pg, taps):
+                    return tap_select(taps, yy, base_t + yy * pages + pg, pg)
+
+                return jax.lax.fori_loop(p_lo, p_hi + 1, p_body, taps)
+
+            zero = jnp.zeros(shape, jnp.int32)
+            t11, t12, t21, t22 = jax.lax.fori_loop(
+                y_lo, y_hi + 1, y_body, (zero, zero, zero, zero)
+            )
+            # Tap order (y1,px1), (y1,px2), (y2,px1), (y2,px2) matches the
+            # old row/page-ascending accumulation order bit-for-bit for the
+            # common y1<y2 pixel; y1==y2 edge pixels reassociate
+            # wx·(wy1+wy2) into wx·wy1 + wx·wy2 (last-ulp, inside the
+            # fused-vs-jnp budget and closer to the XLA oracle's 4-product
+            # form, texture.py:197-202).
+            w11 = wx1 * wy1
+            w12 = wx2 * wy1
+            w21 = wx1 * wy2
+            w22 = wx2 * wy2
+            acc = tuple(
+                acc[c]
+                + w11 * _unpack_u8_raw(t11, c)
+                + w12 * _unpack_u8_raw(t12, c)
+                + w21 * _unpack_u8_raw(t21, c)
+                + w22 * _unpack_u8_raw(t22, c)
                 for c in range(3)
-            ]
-            if opaque:
-                out.append(acc[3] + (w1 + w2))
-            else:
-                out.append(
-                    acc[3]
-                    + w1 * _unpack_u8_raw(g1, 3)
-                    + w2 * _unpack_u8_raw(g2, 3)
+            ) + (
+                (
+                    acc[3] + (w11 + w12 + w21 + w22)
+                    if opaque
+                    else acc[3]
+                    + w11 * _unpack_u8_raw(t11, 3)
+                    + w12 * _unpack_u8_raw(t12, 3)
+                    + w21 * _unpack_u8_raw(t21, 3)
+                    + w22 * _unpack_u8_raw(t22, 3)
+                ),
+            )
+        else:
+
+            def tap_accum(acc, row, page, wy_row):
+                trow = jnp.broadcast_to(tex_ref[pl.ds(row, 1), :], shape)
+                g1 = jnp.take_along_axis(trow, lane1, axis=1)
+                g2 = jnp.take_along_axis(trow, lane2, axis=1)
+                if pages > 1:
+                    w1 = jnp.where(px1 == page, wx1, 0.0) * wy_row
+                    w2 = jnp.where(px2 == page, wx2, 0.0) * wy_row
+                else:
+                    w1 = wx1 * wy_row
+                    w2 = wx2 * wy_row
+                out = [
+                    acc[c]
+                    + w1 * _unpack_u8_raw(g1, c)
+                    + w2 * _unpack_u8_raw(g2, c)
+                    for c in range(3)
+                ]
+                if opaque:
+                    out.append(acc[3] + (w1 + w2))
+                else:
+                    out.append(
+                        acc[3]
+                        + w1 * _unpack_u8_raw(g1, 3)
+                        + w2 * _unpack_u8_raw(g2, 3)
+                    )
+                return tuple(out)
+
+            def y_body(yy, acc):
+                wy_row = jnp.where(y1 == yy, wy1, 0.0) + jnp.where(
+                    y2 == yy, wy2, 0.0
                 )
-            return tuple(out)
+                if pages == 1:
+                    return tap_accum(acc, base_t + yy, 0, wy_row)
 
-        def y_body(yy, acc):
-            wy_row = jnp.where(y1 == yy, wy1, 0.0) + jnp.where(y2 == yy, wy2, 0.0)
-            if pages == 1:
-                return tap_accum(acc, base_t + yy, 0, wy_row)
+                def p_body(pg, acc):
+                    return tap_accum(acc, base_t + yy * pages + pg, pg, wy_row)
 
-            def p_body(pg, acc):
-                return tap_accum(acc, base_t + yy * pages + pg, pg, wy_row)
+                return jax.lax.fori_loop(p_lo, p_hi + 1, p_body, acc)
 
-            return jax.lax.fori_loop(p_lo, p_hi + 1, p_body, acc)
-
-        acc = jax.lax.fori_loop(y_lo, y_hi + 1, y_body, acc)
+            acc = jax.lax.fori_loop(y_lo, y_hi + 1, y_body, acc)
     # One correctly-rounded division per plane (not a reciprocal multiply).
     return (
         acc[0] / 255.0,
