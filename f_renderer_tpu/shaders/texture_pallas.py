@@ -157,7 +157,7 @@ def sample_packed_planar(
             p_hi = jnp.clip(_rmax(jnp.where(sel, px2, -1)), -1, pages - 1)
         base_t = t * hmax * pages
 
-        if TAP_MODE == "taps":
+        if TAP_MODE.startswith("taps"):
             # Raw-tap selection: the loop only RESOLVES each pixel's four
             # packed texels (t11=(y1,x1), t12=(y1,x2), t21=(y2,x1),
             # t22=(y2,x2)) via i32 selects; weights + unpack + fma happen
@@ -193,19 +193,61 @@ def sample_packed_planar(
                     t22 = jnp.where(my2, g2, t22)
                 return (t11, t12, t21, t22)
 
-            def y_body(yy, taps):
-                if pages == 1:
+            zero = jnp.zeros(shape, jnp.int32)
+            unroll = int(TAP_MODE[4:]) if len(TAP_MODE) > 4 else 1
+            if unroll > 1:
+                # "tapsU" (U=2,4,...): flatten (row, page) into one trip
+                # count and unroll the fori body U×. The per-iteration
+                # latency chain (scalar row index → dynamic VMEM row load →
+                # 2 lane gathers → selects) serializes across fori trips
+                # (Mosaic doesn't software-pipeline while loops); U
+                # independent chains per trip let the scheduler overlap
+                # them. Tail duplicates (flat index clamped to total−1)
+                # re-select identical taps — idempotent, bit-exact.
+                if pages > 1:
+                    p_span = jnp.maximum(p_hi + 1 - p_lo, 0)
+                    total = jnp.maximum(y_hi + 1 - y_lo, 0) * p_span
+                else:
+                    total = jnp.maximum(y_hi + 1 - y_lo, 0)
+
+                def step(i, taps):
+                    if pages > 1:
+                        yy = y_lo + i // p_span
+                        pg = p_lo + i % p_span
+                        return tap_select(
+                            taps, yy, base_t + yy * pages + pg, pg
+                        )
+                    yy = y_lo + i
                     return tap_select(taps, yy, base_t + yy, 0)
 
-                def p_body(pg, taps):
-                    return tap_select(taps, yy, base_t + yy * pages + pg, pg)
+                def u_body(k, taps):
+                    i0 = k * unroll
+                    for j in range(unroll):
+                        taps = step(jnp.minimum(i0 + j, total - 1), taps)
+                    return taps
 
-                return jax.lax.fori_loop(p_lo, p_hi + 1, p_body, taps)
+                t11, t12, t21, t22 = jax.lax.fori_loop(
+                    0,
+                    (total + unroll - 1) // unroll,
+                    u_body,
+                    (zero, zero, zero, zero),
+                )
+            else:
 
-            zero = jnp.zeros(shape, jnp.int32)
-            t11, t12, t21, t22 = jax.lax.fori_loop(
-                y_lo, y_hi + 1, y_body, (zero, zero, zero, zero)
-            )
+                def y_body(yy, taps):
+                    if pages == 1:
+                        return tap_select(taps, yy, base_t + yy, 0)
+
+                    def p_body(pg, taps):
+                        return tap_select(
+                            taps, yy, base_t + yy * pages + pg, pg
+                        )
+
+                    return jax.lax.fori_loop(p_lo, p_hi + 1, p_body, taps)
+
+                t11, t12, t21, t22 = jax.lax.fori_loop(
+                    y_lo, y_hi + 1, y_body, (zero, zero, zero, zero)
+                )
             # Tap order (y1,px1), (y1,px2), (y2,px1), (y2,px2) matches the
             # old row/page-ascending accumulation order bit-for-bit for the
             # common y1<y2 pixel; y1==y2 edge pixels reassociate

@@ -228,6 +228,12 @@ class VoxelRenderConfig:
     # skip quirk (voxel.rs:340, SURVEY.md §7.3.10); "dda" steps cell-exactly
     # (~50× fewer iterations, pallas backend only).
     traversal: str = "fixed"
+    # Rays per march-kernel program = block×128. Bigger blocks amortize the
+    # while-loop's scalar control + cross-lane exit checks over more rays
+    # (divergence is low: worst-lane p95/p50 = 1.2, voxel roofline) at the
+    # cost of more live vregs per step. A/B (profile_voxel_steps.py, TPU):
+    # parity 3.96/2.87/2.65 ms at 8/16/32, dda 2.44/1.47 — 32 wins both.
+    block: int = 32
 
 
 def render_voxel_frame(
@@ -328,6 +334,7 @@ def render_voxel_frame(
             config.length,
             per_t_f32,
             config.background,
+            block=config.block,
             interpret=backend == "pallas_interpret",
             dda=config.traversal == "dda",
         )

@@ -15,6 +15,7 @@ starting from t = 0, first hit wins, ``t = min(t + per_t, t_max)``
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+
+# Fixed-step group formulation (A/B knob, baselines/profile_voxel_steps.py):
+#   "par" — compute the group's 8 candidate sample times upfront (a short
+#           serial add/min chain — provably the same f32 values the gated
+#           `t = min(t + per_t, tmax)` chain reaches) and run the 8 hit
+#           queries as INDEPENDENT gather chains resolved by one priority
+#           select. Bit-exact; overlaps the per-step gather latency the
+#           serial form pays 8× (the voxel roofline's 2-3× gap driver).
+#   "ser" — the r2-r4 body: 8 sequential gated steps.
+STEP_MODE = _os.environ.get("FR_VOXEL_STEPS", "par")
 
 
 def _cdiv(a, b):
@@ -201,11 +212,40 @@ def _march_kernel(
             t = jnp.where(n > 0, jnp.minimum(gather_t(k2), tmax), t)
             k = k2
             # Normal steps (several per cross-lane exit check).
-            for _ in range(8):
-                hit = query_hit(t) & (done == 0)
-                done = jnp.where(hit | (t >= tmax), jnp.int32(1), done)
-                t = jnp.where(done != 0, t, jnp.minimum(t + per_t, tmax))
-                k = jnp.where(done != 0, k, jnp.minimum(k + 1, kmax))
+            if STEP_MODE == "par":
+                # Candidate sample times u_i = min(fl_acc_i, tmax): once the
+                # running min clamps to tmax it stays there (tmax + per_t >
+                # tmax), so this unconditional chain reaches exactly the
+                # values the gated serial form queries. The 8 query_hit
+                # chains share no data dependence — Mosaic can overlap
+                # their gather latencies — and one reverse priority select
+                # freezes each lane at its FIRST stop, as the serial form
+                # does.
+                us = [t]
+                ks = [k]
+                for _ in range(8):
+                    us.append(jnp.minimum(us[-1] + per_t, tmax))
+                    ks.append(jnp.minimum(ks[-1] + 1, kmax))
+                stops = [query_hit(us[i]) | (us[i] >= tmax) for i in range(8)]
+                t_new = us[8]
+                k_new = ks[8]
+                for i in range(7, -1, -1):
+                    t_new = jnp.where(stops[i], us[i], t_new)
+                    k_new = jnp.where(stops[i], ks[i], k_new)
+                any_stop = stops[0]
+                for i in range(1, 8):
+                    any_stop = any_stop | stops[i]
+                t = jnp.where(done != 0, t, t_new)
+                k = jnp.where(done != 0, k, k_new)
+                done = jnp.where(
+                    done != 0, done, any_stop.astype(jnp.int32)
+                )
+            else:
+                for _ in range(8):
+                    hit = query_hit(t) & (done == 0)
+                    done = jnp.where(hit | (t >= tmax), jnp.int32(1), done)
+                    t = jnp.where(done != 0, t, jnp.minimum(t + per_t, tmax))
+                    k = jnp.where(done != 0, k, jnp.minimum(k + 1, kmax))
             return t, k, done
 
         t_fin, _, _ = jax.lax.while_loop(

@@ -45,6 +45,34 @@ def test_matches_xla_sampler(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("mode", ["rows", "taps", "taps2", "taps4"])
+def test_tap_modes_match_oracle(rng, mode):
+    """Every inner-loop formulation (incl. the unrolled tapsU variants,
+    whose tail duplicates rely on idempotent selects) matches the XLA
+    sampler — multi-page stack so the flattened (row, page) indexing is
+    exercised."""
+    from f_renderer_tpu.shaders import texture_pallas
+
+    stack = TextureStack.create(
+        [
+            rng.random((24, 200, 4)).astype(np.float32),
+            rng.random((48, 96, 4)).astype(np.float32),
+        ]
+    )
+    assert stack.pages == 2
+    idx = jnp.asarray(rng.integers(-1, 2, (11, 64)), jnp.int32)
+    uv = jnp.asarray(rng.random((11, 64, 2)), jnp.float32)
+    ref = np.asarray(xla_sample(stack, idx, uv))
+    old = texture_pallas.TAP_MODE
+    texture_pallas.TAP_MODE = mode
+    try:
+        out = np.asarray(pallas_sample(stack, idx, uv))
+    finally:
+        texture_pallas.TAP_MODE = old
+    valid = np.asarray(idx) >= 0
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=1e-6, atol=1e-6)
+
+
 def test_wide_texture_pages(rng):
     # Wmax = 300 → 3 lane pages; mixed widths exercise per-texture ranges.
     stack = TextureStack.create(

@@ -146,6 +146,45 @@ def test_pallas_march_matches_jnp(rng):
     assert (diff > 0).mean() <= 0.002, f"{(diff > 0).mean():.3%} pixels differ"
 
 
+@pytest.mark.parametrize("mode,block", [("ser", 8), ("par", 8), ("par", 16)])
+def test_march_step_modes_match_jnp(rng, mode, block):
+    """Both fixed-step formulations (serial gated chain / parallel
+    candidate-t queries + priority select) and non-default ray blocks
+    reproduce the jnp oracle march."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from f_renderer_tpu.math import set_identity, set_look_at, set_perspective
+    from f_renderer_tpu.voxel import raycast_pallas
+    from f_renderer_tpu.voxel.octree import densify, gen_randomly
+    from f_renderer_tpu.voxel.raycast import VoxelRenderConfig, render_voxel_frame
+
+    root = gen_randomly(2, rng)
+    grid_color, grid_hit = densify(root, 2)
+    w, h = 96, 64
+    eye = np.array([2.8, 1.8, -0.9], np.float32)
+    center = np.array([1.0, 1.0, 1.0], np.float32)
+    proj = np.asarray(set_perspective(np.pi * 0.25, w / h, 0.1, 100.0))
+    view = np.asarray(set_look_at(eye, center, [0, 1, 0]))
+    inv_mvp = np.linalg.inv(proj @ view @ np.asarray(set_identity())).astype(
+        np.float32
+    )
+    args = (jnp.asarray(grid_color), jnp.asarray(grid_hit), jnp.asarray(eye),
+            jnp.asarray(inv_mvp))
+    cfg = VoxelRenderConfig(width=w, height=h, level=2, backend="jnp")
+    f_jnp = np.asarray(render_voxel_frame(*args, cfg))
+    cfg_p = dataclasses.replace(cfg, backend="pallas_interpret", block=block)
+    old = raycast_pallas.STEP_MODE
+    raycast_pallas.STEP_MODE = mode
+    try:
+        f_pal = np.asarray(render_voxel_frame(*args, cfg_p))
+    finally:
+        raycast_pallas.STEP_MODE = old
+    diff = (f_jnp.astype(int) - f_pal.astype(int)).__abs__().max(axis=-1)
+    assert (diff > 0).mean() <= 0.002, f"{(diff > 0).mean():.3%} pixels differ"
+
+
 def test_dda_matches_fixed_on_thick_cells(rng):
     """On a fully-occupied octree every march hits the entry cell — fixed
     and DDA traversal must agree (thin-leaf skipping can't occur)."""
