@@ -73,22 +73,30 @@ def main():
     packs = {frames: pack_args(frames), 2 * frames: pack_args(2 * frames)}
 
     cases = [
-        ("fixed", "ser", 8),  # the r4 shipped state
-        ("fixed", "par", 8),
-        ("fixed", "par", 16),
-        ("fixed", "par", 32),
-        ("fixed", "ser", 32),
-        ("dda", "par", 8),
-        ("dda", "par", 32),
+        ("fixed", "ser", 8, 8),  # the r4 shipped state
+        ("fixed", "par", 8, 8),
+        ("fixed", "par", 16, 8),
+        ("fixed", "par", 32, 8),
+        ("fixed", "ser", 32, 8),
+        ("dda", "par", 8, 8),
+        ("dda", "par", 32, 8),
     ]
     only = os.environ.get("PROFILE_CASES")
     if only:  # e.g. PROFILE_CASES=fixed:par:8,fixed:ser:8
         want = {tuple(c.split(":")) for c in only.split(",")}
         cases = [c for c in cases if (c[0], c[1], str(c[2])) in want]
+    groups = os.environ.get("PROFILE_GROUPS")
+    if groups:  # e.g. PROFILE_GROUPS=fixed:32:4,fixed:32:16 — par-mode
+        cases = [
+            ("fixed" if c.split(":")[0] == "fixed" else "dda",
+             "par", int(c.split(":")[1]), int(c.split(":")[2]))
+            for c in groups.split(",")
+        ]
 
     checks = {}
-    for traversal, mode, block in cases:
+    for traversal, mode, block, group in cases:
         raycast_pallas.STEP_MODE = mode
+        raycast_pallas.GROUP = group
         cfg = VoxelRenderConfig(
             width=width, height=height, level=level, length=length,
             traversal=traversal, block=block,
@@ -120,10 +128,10 @@ def main():
         int(run_n(2 * frames, *packs[2 * frames]))
         w2 = time.time() - t0
         per = max((w2 - w1) / frames, w2 / (4 * frames), 1e-7)
-        checks.setdefault(traversal, {})[(mode, block)] = chk
+        checks.setdefault(traversal, {})[(mode, block, group)] = chk
         print(
-            f"[voxel540 {traversal} steps={mode} block={block}] "
-            f"{per * 1e3:.2f} ms/frame checksum={chk} "
+            f"[voxel540 {traversal} steps={mode} block={block} "
+            f"group={group}] {per * 1e3:.2f} ms/frame checksum={chk} "
             f"(compile+first {c:.0f}s)",
             flush=True,
         )

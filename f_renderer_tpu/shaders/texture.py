@@ -49,16 +49,33 @@ def _pallas_sampler_ok(stack, index) -> bool:
     )
 
 
+def hmax_padded(hmax: int) -> int:
+    """Texture rows padded to a sublane multiple (8) so the packed stack's
+    per-(texture, page) blocks are 8-row aligned — the grp sampler mode
+    loads (8, 128) tiles at aligned dynamic offsets."""
+    return -(-max(hmax, 1) // 8) * 8
+
+
 def pack_rgba8(q: np.ndarray) -> np.ndarray:
-    """(T, Hmax, Wmax, 4) u8 → (T·Hmax·pages, 128) i32 paged packed texels."""
+    """(T, Hmax, Wmax, 4) u8 → (T·pages·Hmax8, 128) i32 paged packed texels.
+
+    PAGE-MAJOR layout: flat row = (t·pages + page)·Hmax8 + y with Hmax8 =
+    Hmax padded to a multiple of 8 (zero texels). Same-page texel rows are
+    contiguous and every (texture, page) block starts 8-row aligned, so a
+    sampler can both restrict its loop to the touched page range and load
+    aligned (8, 128) row groups. (r1-r4 used row-major y·pages + page.)
+    """
     t, hmax, wmax = q.shape[:3]
     pages = -(-max(wmax, 1) // LANES)
-    qq = np.zeros((t, hmax, pages * LANES, 4), np.uint32)
-    qq[:, :, :wmax] = q
+    hmax8 = hmax_padded(hmax)
+    qq = np.zeros((t, hmax8, pages * LANES, 4), np.uint32)
+    qq[:, :hmax, :wmax] = q
     packed = (
         qq[..., 0] | (qq[..., 1] << 8) | (qq[..., 2] << 16) | (qq[..., 3] << 24)
     ).astype(np.uint32)
-    return packed.reshape(t * hmax * pages, LANES).view(np.int32)
+    # (t, hmax8, pages, 128) → (t, pages, hmax8, 128)
+    packed = packed.reshape(t, hmax8, pages, LANES).transpose(0, 2, 1, 3)
+    return packed.reshape(t * pages * hmax8, LANES).view(np.int32)
 
 
 @jax.tree_util.register_dataclass
@@ -78,7 +95,7 @@ class TextureStack:
     def pages(self) -> int:
         """Lanes-of-128 pages per texture row (static)."""
         t, hmax = self.data.shape[0], self.data.shape[1]
-        return self.packed.shape[0] // (t * hmax)
+        return self.packed.shape[0] // (t * hmax_padded(hmax))
 
     @property
     def packed_nbytes(self) -> int:

@@ -5,9 +5,10 @@ formulation — baselines/profile_texture.py); this kernel replaces them with
 in-VMEM lookups:
 
 - Textures live in VMEM as ``TextureStack.packed``: one i32 per texel
-  (RGBA8), texture x split into pages of 128 lanes — flat row =
-  t·Hmax·pages + y·pages + page. 4 bytes/texel (vs 16 for the r1
-  channel-major f32 layout) and **any texture width**, not just ≤128.
+  (RGBA8), texture x split into pages of 128 lanes, PAGE-MAJOR with 8-row
+  aligned blocks — flat row = (t·pages + page)·Hmax8 + y (texture.py:
+  pack_rgba8). 4 bytes/texel (vs 16 for the r1 channel-major f32 layout)
+  and **any texture width**, not just ≤128.
 - Pixels are processed in (BS, 128) blocks. Sampling loops over textures
   (static, T is small); per texture it computes the touched row range
   [y_lo, y_hi] × page range [p_lo, p_hi] from only the pixels that select
@@ -37,15 +38,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
-# Inner-loop formulation (A/B knob, baselines/profile_sampler_taps.py):
-#   "taps" — select each pixel's 4 raw packed texels inside the (row, page)
-#            loop (2 compares + 4 selects/iter) and defer ALL weight math +
-#            u8 unpacking to one post-loop block per texture (~15 ops/iter).
-#   "rows" — the r2-r4 body: per-row weight folding + per-tap unpack-fma
-#            (~44 ops/iter, the 60%-of-phong1080 roofline line item).
+# Inner-loop formulation (A/B knobs, baselines/profile_sampler_taps.py +
+# profile_sampler_unroll.py, which sweeps any PROFILE_MODES list):
+#   "taps"  — select each pixel's 4 raw packed texels inside the (row, page)
+#             loop (2 compares + 4 selects/iter) and defer ALL weight math +
+#             u8 unpacking to one post-loop block per texture (~15 ops/iter).
+#   "tapsU" — taps with the (row, page) nest flattened and unrolled U×: the
+#             per-trip latency chain (scalar index → dynamic row load → 2
+#             lane gathers → selects) is what bounds the loop (not issues),
+#             so U independent chains/trip overlap it. Measured phong1080
+#             (3×512², paired): taps 8.07 → taps4 6.22 → taps8 5.72 ms.
+#   "grpU"  — 8-row GROUP loop: one aligned (8, 128) tile load per group
+#             (the page-major packed layout makes groups contiguous), then
+#             a static 8-row unroll of broadcast + 2 lane gathers + exact
+#             (row, page)-match selects. 8× fewer loop trips than taps and
+#             no per-row dynamic loads or div/mod; U unrolls the group loop.
+#   "rows"  — the r2-r4 body: per-row weight folding + per-tap unpack-fma
+#             (~44 ops/iter, the 60%-of-phong1080 roofline line item).
 import os as _os
 
-TAP_MODE = _os.environ.get("FR_SAMPLER", "taps")
+# Default from the r4 TPU ladder (process-paired, identical checksums):
+# taps 8.07 → taps2 6.81 → taps4 6.22 → taps8 5.72-6.01 (taps12/16
+# plateau); grp 5.93 / grp2 5.68 / grp4 5.72 vs taps8 5.85 same-process.
+# grp2 wins by ~3%; the frame now sits at the 1-issue @1.70 GHz roofline
+# (5.02 ms band edge, profile_phong_roofline.py) — the remaining gap is
+# issue count, not latency.
+TAP_MODE = _os.environ.get("FR_SAMPLER", "grp2")
 
 
 def _cdiv(a, b):
@@ -110,6 +128,7 @@ def sample_packed_planar(
     lowerings differ by ulps, breaking bit-parity on hardware).
     """
     shape = ps.shape
+    hmax_pad = _cdiv(hmax, 8) * 8  # texture.py:pack_rgba8 row padding
     acc = tuple(jnp.zeros(shape, jnp.float32) for _ in range(4))
     for t in range(t_count):
         sel = ps == t
@@ -155,9 +174,9 @@ def sample_packed_planar(
         if pages > 1:
             p_lo = jnp.clip(_rmin(jnp.where(sel, px1, big)), 0, pages - 1)
             p_hi = jnp.clip(_rmax(jnp.where(sel, px2, -1)), -1, pages - 1)
-        base_t = t * hmax * pages
+        base_t = t * pages * hmax_pad  # page-major: row = base + pg·H8 + y
 
-        if TAP_MODE.startswith("taps"):
+        if TAP_MODE.startswith("taps") or TAP_MODE.startswith("grp"):
             # Raw-tap selection: the loop only RESOLVES each pixel's four
             # packed texels (t11=(y1,x1), t12=(y1,x2), t21=(y2,x1),
             # t22=(y2,x2)) via i32 selects; weights + unpack + fma happen
@@ -194,8 +213,72 @@ def sample_packed_planar(
                 return (t11, t12, t21, t22)
 
             zero = jnp.zeros(shape, jnp.int32)
-            unroll = int(TAP_MODE[4:]) if len(TAP_MODE) > 4 else 1
-            if unroll > 1:
+            if TAP_MODE.startswith("grp"):
+                # 8-row group loop over the page-major stack: one ALIGNED
+                # (8, 128) tile load per (group, page), then a static 8-row
+                # unroll of sublane broadcast + 2 lane gathers + exact
+                # (row, page)-match selects. Vs taps: 8× fewer loop trips,
+                # no per-row dynamic loads, the 8 rows' gather chains are
+                # independent (latency overlap), and ~11 ops/row vs ~15.
+                # Resolution stays an exact selection of the same packed
+                # texels — bit-identical results.
+                unroll = int(TAP_MODE[3:]) if len(TAP_MODE) > 3 else 1
+                g_lo = y_lo >> 3
+                g_hi = y_hi >> 3
+
+                def grp_select(taps, gg, pg, mp1, mp2):
+                    t11, t12, t21, t22 = taps
+                    tile = tex_ref[
+                        pl.ds(base_t + pg * hmax_pad + gg * 8, 8), :
+                    ]
+                    sub1 = y1 - gg * 8
+                    sub2 = y2 - gg * 8
+                    if mp1 is None:  # single page: row match only
+                        m11 = m12 = sub1
+                        m21 = m22 = sub2
+                    else:  # fold the page match into the row index
+                        m11 = jnp.where(mp1, sub1, -1)
+                        m12 = jnp.where(mp2, sub1, -1)
+                        m21 = jnp.where(mp1, sub2, -1)
+                        m22 = jnp.where(mp2, sub2, -1)
+                    for h in range(8):
+                        trow = jnp.broadcast_to(tile[h][None, :], shape)
+                        g1 = jnp.take_along_axis(trow, lane1, axis=1)
+                        g2 = jnp.take_along_axis(trow, lane2, axis=1)
+                        t11 = jnp.where(m11 == h, g1, t11)
+                        t12 = jnp.where(m12 == h, g2, t12)
+                        t21 = jnp.where(m21 == h, g1, t21)
+                        t22 = jnp.where(m22 == h, g2, t22)
+                    return (t11, t12, t21, t22)
+
+                if pages > 1:
+                    p_span = jnp.maximum(p_hi + 1 - p_lo, 0)
+                    total = jnp.maximum(g_hi + 1 - g_lo, 0) * p_span
+                else:
+                    total = jnp.maximum(g_hi + 1 - g_lo, 0)
+
+                def gstep(i, taps):
+                    if pages > 1:
+                        gg = g_lo + i // p_span
+                        pg = p_lo + i % p_span
+                        return grp_select(taps, gg, pg, px1 == pg, px2 == pg)
+                    return grp_select(taps, g_lo + i, 0, None, None)
+
+                def gu_body(kk, taps):
+                    i0 = kk * unroll
+                    for j in range(unroll):
+                        taps = gstep(jnp.minimum(i0 + j, total - 1), taps)
+                    return taps
+
+                t11, t12, t21, t22 = jax.lax.fori_loop(
+                    0,
+                    (total + unroll - 1) // unroll,
+                    gu_body,
+                    (zero, zero, zero, zero),
+                )
+            elif (
+                unroll := int(TAP_MODE[4:]) if len(TAP_MODE) > 4 else 1
+            ) > 1:
                 # "tapsU" (U=2,4,...): flatten (row, page) into one trip
                 # count and unroll the fori body U×. The per-iteration
                 # latency chain (scalar row index → dynamic VMEM row load →
@@ -215,7 +298,7 @@ def sample_packed_planar(
                         yy = y_lo + i // p_span
                         pg = p_lo + i % p_span
                         return tap_select(
-                            taps, yy, base_t + yy * pages + pg, pg
+                            taps, yy, base_t + pg * hmax_pad + yy, pg
                         )
                     yy = y_lo + i
                     return tap_select(taps, yy, base_t + yy, 0)
@@ -240,7 +323,7 @@ def sample_packed_planar(
 
                     def p_body(pg, taps):
                         return tap_select(
-                            taps, yy, base_t + yy * pages + pg, pg
+                            taps, yy, base_t + pg * hmax_pad + yy, pg
                         )
 
                     return jax.lax.fori_loop(p_lo, p_hi + 1, p_body, taps)
@@ -312,7 +395,9 @@ def sample_packed_planar(
                     return tap_accum(acc, base_t + yy, 0, wy_row)
 
                 def p_body(pg, acc):
-                    return tap_accum(acc, base_t + yy * pages + pg, pg, wy_row)
+                    return tap_accum(
+                        acc, base_t + pg * hmax_pad + yy, pg, wy_row
+                    )
 
                 return jax.lax.fori_loop(p_lo, p_hi + 1, p_body, acc)
 
@@ -375,7 +460,10 @@ def sample_bilinear_pallas(
     follows the reference clamp semantics.
     """
     t = dims.shape[0]
-    assert packed.shape[0] == t * hmax * pages, (packed.shape, t, hmax, pages)
+    hmax_pad = _cdiv(hmax, 8) * 8
+    assert packed.shape[0] == t * hmax_pad * pages, (
+        packed.shape, t, hmax, hmax_pad, pages,
+    )
     shape = index.shape
     p = 1
     for s in shape:

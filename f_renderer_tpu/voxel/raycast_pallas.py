@@ -34,6 +34,13 @@ LANES = 128
 #   "ser" — the r2-r4 body: 8 sequential gated steps.
 STEP_MODE = _os.environ.get("FR_VOXEL_STEPS", "par")
 
+# Queries per cross-lane exit check in "par" mode. Bigger groups amortize
+# the jump phase + `jnp.any` over more candidates but waste queries past
+# each lane's stop point (a lane that stops at step 1 still pays the whole
+# group). Default from the profile_voxel_steps.py PROFILE_GROUPS sweep.
+# Serial mode keeps its fixed 8.
+GROUP = int(_os.environ.get("FR_VOXEL_GROUP", "8"))
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -221,19 +228,20 @@ def _march_kernel(
                 # their gather latencies — and one reverse priority select
                 # freezes each lane at its FIRST stop, as the serial form
                 # does.
+                g = GROUP
                 us = [t]
                 ks = [k]
-                for _ in range(8):
+                for _ in range(g):
                     us.append(jnp.minimum(us[-1] + per_t, tmax))
                     ks.append(jnp.minimum(ks[-1] + 1, kmax))
-                stops = [query_hit(us[i]) | (us[i] >= tmax) for i in range(8)]
-                t_new = us[8]
-                k_new = ks[8]
-                for i in range(7, -1, -1):
+                stops = [query_hit(us[i]) | (us[i] >= tmax) for i in range(g)]
+                t_new = us[g]
+                k_new = ks[g]
+                for i in range(g - 1, -1, -1):
                     t_new = jnp.where(stops[i], us[i], t_new)
                     k_new = jnp.where(stops[i], ks[i], k_new)
                 any_stop = stops[0]
-                for i in range(1, 8):
+                for i in range(1, g):
                     any_stop = any_stop | stops[i]
                 t = jnp.where(done != 0, t, t_new)
                 k = jnp.where(done != 0, k, k_new)

@@ -45,7 +45,9 @@ def test_matches_xla_sampler(rng):
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("mode", ["rows", "taps", "taps2", "taps4"])
+@pytest.mark.parametrize(
+    "mode", ["rows", "taps", "taps2", "taps8", "grp", "grp2"]
+)
 def test_tap_modes_match_oracle(rng, mode):
     """Every inner-loop formulation (incl. the unrolled tapsU variants,
     whose tail duplicates rely on idempotent selects) matches the XLA
