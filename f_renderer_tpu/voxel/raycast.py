@@ -231,9 +231,11 @@ class VoxelRenderConfig:
     # Rays per march-kernel program = block×128. Bigger blocks amortize the
     # while-loop's scalar control + cross-lane exit checks over more rays
     # (divergence is low: worst-lane p95/p50 = 1.2, voxel roofline) at the
-    # cost of more live vregs per step. A/B (profile_voxel_steps.py, TPU):
-    # parity 3.96/2.87/2.65 ms at 8/16/32, dda 2.44/1.47 — 32 wins both.
-    block: int = 32
+    # cost of more live vregs per step. A/B ladder (profile_voxel_steps.py,
+    # TPU, par mode): parity 3.96/2.87/2.65/2.15 ms at block 8/16/32/128
+    # (256 flat at 2.16), dda 2.44/1.47/1.35-1.55 at 8/32/128 (256
+    # regresses) — 128 wins both.
+    block: int = 128
 
 
 def render_voxel_frame(

@@ -37,9 +37,11 @@ STEP_MODE = _os.environ.get("FR_VOXEL_STEPS", "par")
 # Queries per cross-lane exit check in "par" mode. Bigger groups amortize
 # the jump phase + `jnp.any` over more candidates but waste queries past
 # each lane's stop point (a lane that stops at step 1 still pays the whole
-# group). Default from the profile_voxel_steps.py PROFILE_GROUPS sweep.
-# Serial mode keeps its fixed 8.
-GROUP = int(_os.environ.get("FR_VOXEL_GROUP", "8"))
+# group). PROFILE_GROUPS sweep at block=32 (profile_voxel_steps.py, TPU):
+# g2 3.04 / g4 2.31-2.33 / g8 2.54 / g16 3.06 ms — 4 wins (the jump phase
+# already lands rays ~2 steps from the next event, so long groups mostly
+# query past the stop). Serial mode keeps its fixed 8.
+GROUP = int(_os.environ.get("FR_VOXEL_GROUP", "4"))
 
 
 def _cdiv(a, b):

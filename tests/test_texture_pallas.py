@@ -55,9 +55,11 @@ def test_tap_modes_match_oracle(rng, mode):
     exercised."""
     from f_renderer_tpu.shaders import texture_pallas
 
+    # 13 rows: not a multiple of 8 — exercises the page-major layout's
+    # 8-row padding (texture.py:hmax_padded) under every mode.
     stack = TextureStack.create(
         [
-            rng.random((24, 200, 4)).astype(np.float32),
+            rng.random((13, 200, 4)).astype(np.float32),
             rng.random((48, 96, 4)).astype(np.float32),
         ]
     )
