@@ -32,12 +32,21 @@ plane op = 4 issues):
 - sampler per-texture setup:          ~30 ops + 4 cross-lane reductions
     (measured ~200 cyc each on (32,128) — CLAUDE.md)
                                                      → 120 issues + 800 cyc
-- sampler (row, page) iteration:      ~44 ops        → 176 issues/iter
+- sampler (row, page) iteration, "rows" body (r2-r4 mid):
+                                      ~44 ops        → 176 issues/iter
     2 lane gathers, 6 weight ops, 3 ch × (unpack 6 + fma 4), alpha 2,
     wy_row amortized, loop overhead.
+- sampler 8-row GROUP, "grp2" body (r4 late, the shipped default):
+    tile load 2 + sub/page-mask prep 8 ops + 8 × (broadcast + 2 lane
+    gathers + 4 compares + 4 selects = 11 ops) + ~8 scalar flat-index ops
+                                                     → ~394 issues/group
+- sampler per-texture post-loop tap epilogue (grp/taps only): weights 4 +
+  3 ch × (4 unpack·3 + fma 4) + alpha 3 ≈ 55 ops     → 220 issues/setup
 
 The bound assumes 1 issue/cycle retired (no multi-ALU superscalar credit)
-and zero DMA stall — i.e. the optimistic floor for THIS design.
+and zero DMA stall — i.e. the optimistic floor for THIS design. Both the
+legacy rows-body model (which the 8.38 ms r4-start frame matched) and the
+shipped grp2 model are printed.
 
 Usage: python baselines/profile_phong_roofline.py
 """
@@ -66,6 +75,8 @@ ISS_EPILOGUE = 440
 ISS_SAMP_SETUP = 120
 CYC_SAMP_REDUCTIONS = 800
 ISS_SAMP_ITER = 176
+ISS_SAMP_GROUP = 394
+ISS_SAMP_EPI = 220
 CLOCKS = (0.94e9, 1.7e9)
 
 
@@ -134,6 +145,7 @@ def main():
     v_p[:H, :W] = uv[..., 1]
 
     total_iters = 0
+    total_groups = 0
     setups = 0
     for ty in range(nty):
         for tx in range(ntx):
@@ -160,7 +172,9 @@ def main():
                 y2 = np.minimum(y2, hmax - 1)
                 y_lo, y_hi = int(y1.min()), int(y2.max())
                 p_lo, p_hi = int((x1 >> 7).min()), int((x2 >> 7).max())
-                total_iters += (y_hi - y_lo + 1) * (p_hi - p_lo + 1)
+                p_span = p_hi - p_lo + 1
+                total_iters += (y_hi - y_lo + 1) * p_span
+                total_groups += ((y_hi >> 3) - (y_lo >> 3) + 1) * p_span
 
     shaded = int((winner >= 0).sum())
     print(f"scene: {tri.num_slots} slots, {n_pairs} pairs, "
@@ -170,30 +184,35 @@ def main():
           f"(tile,texture) setups "
           f"(avg {total_iters / max(live_tiles, 1):.1f}/tile)")
 
-    issues = (
-        n_pairs * ISS_PAIR
-        + n_chunks * ISS_CHUNK_UPD
-        + live_tiles * ISS_EPILOGUE
-        + setups * ISS_SAMP_SETUP
-        + total_iters * ISS_SAMP_ITER
-    )
     red_cyc = setups * CYC_SAMP_REDUCTIONS
-    parts = {
+    base = {
         "pair loop": n_pairs * ISS_PAIR,
         "chunk updates": n_chunks * ISS_CHUNK_UPD,
         "epilogue": live_tiles * ISS_EPILOGUE,
         "sampler setup+reductions": setups * ISS_SAMP_SETUP + red_cyc,
-        "sampler iterations": total_iters * ISS_SAMP_ITER,
     }
-    total_cyc = issues + red_cyc
-    print("\nissue-cycle budget:")
-    for k, v in parts.items():
-        print(f"  {k:26s} {v / 1e6:7.2f} Mcyc  ({v / total_cyc:5.1%})")
-    print(f"  {'TOTAL':26s} {total_cyc / 1e6:7.2f} Mcyc")
-    for clk in CLOCKS:
-        ms = total_cyc / clk * 1e3
-        print(f"floor @ {clk / 1e9:.2f} GHz: {ms:.2f} ms "
-              f"({W * H / 1e6 / (ms / 1e3):.0f} Mpix/s)")
+    models = {
+        "rows body (r2-r4 mid)": dict(
+            base, **{"sampler iterations": total_iters * ISS_SAMP_ITER}
+        ),
+        "grp2 body (shipped)": dict(
+            base,
+            **{
+                "sampler groups": total_groups * ISS_SAMP_GROUP,
+                "sampler tap epilogue": setups * ISS_SAMP_EPI,
+            },
+        ),
+    }
+    for name, parts in models.items():
+        total_cyc = sum(parts.values())
+        print(f"\nissue-cycle budget — {name}:")
+        for k, v in parts.items():
+            print(f"  {k:26s} {v / 1e6:7.2f} Mcyc  ({v / total_cyc:5.1%})")
+        print(f"  {'TOTAL':26s} {total_cyc / 1e6:7.2f} Mcyc")
+        for clk in CLOCKS:
+            ms = total_cyc / clk * 1e3
+            print(f"floor @ {clk / 1e9:.2f} GHz: {ms:.2f} ms "
+                  f"({W * H / 1e6 / (ms / 1e3):.0f} Mpix/s)")
 
 
 if __name__ == "__main__":
