@@ -85,6 +85,16 @@ NF_F = 16  # base fields padded to sublane multiple (no ctx)
 # production — outputs are garbage by design.
 _DEBUG_PAIR_BODY = None
 
+# Cover-test formulation (A/B knob, baselines/profile_cover.py). "or":
+# fold the five tests into ONE compare on a sign-bit OR —
+# (e01 | e12 | e20 | (maxx-1-cx) | (maxy-1-cy)) >= 0 — boolean-identical
+# (all five ints are non-negative iff the OR's sign bit is clear; i32
+# exact, coordinates never overflow), 7 vector ops vs 9. "and": the
+# five-compare-AND chain (r1-r4).
+import os as _os
+
+_COVER_FORM = _os.environ.get("FR_COVER", "or")
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -550,18 +560,24 @@ def _make_kernel(
                 # 2 vector ops instead of 4.
                 e12 = i32f(_AREA2) - e01 - e20
                 # Fill-rule thresholds are pre-folded into c01/c20/area2
-                # (pack_setup), so all three tests are against zero.
-                cover = (
-                    (e01 >= 0)
-                    & (e12 >= 0)
-                    & (e20 >= 0)
-                    # Only the EXCLUSIVE bbox max (renderer.rs:322-324) needs
-                    # explicit tests: a pixel passing all three edge tests
-                    # lies in the hull of the rounded spi, so cx >= minx and
-                    # cy >= miny (and the screen clamp) are implied.
-                    & (cx < maxx)
-                    & (cy < maxy)
-                )
+                # (pack_setup), so all three tests are against zero. Only
+                # the EXCLUSIVE bbox max (renderer.rs:322-324) needs
+                # explicit tests: a pixel passing all three edge tests lies
+                # in the hull of the rounded spi, so cx >= minx and
+                # cy >= miny (and the screen clamp) are implied.
+                if _COVER_FORM == "or":
+                    # One compare on the sign-bit OR (see _COVER_FORM).
+                    cover = (
+                        e01 | e12 | e20 | (maxx - 1 - cx) | (maxy - 1 - cy)
+                    ) >= 0
+                else:
+                    cover = (
+                        (e01 >= 0)
+                        & (e12 >= 0)
+                        & (e20 >= 0)
+                        & (cx < maxx)
+                        & (cy < maxy)
+                    )
                 if _DEBUG_PAIR_BODY == "cover" and deferred:
                     sf = (
                         f32f(_S0X) + f32f(_S0Y) + f32f(_S1X) + f32f(_S1Y)

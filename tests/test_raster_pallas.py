@@ -61,6 +61,22 @@ def test_matches_jnp_small_chunks(rng):
     assert_same(buf, chunk=128, tile=(32, 128))
 
 
+@pytest.mark.parametrize("form", ["and", "or"])
+def test_cover_forms_match_jnp(rng, form):
+    """Both cover-test formulations (five-compare AND chain / sign-bit OR
+    fold) reproduce the oracle — they are boolean-identical by the
+    non-negativity/sign argument at raster_pallas._COVER_FORM."""
+    from f_renderer_tpu.pipeline import raster_pallas
+
+    buf = make_buffer(rng)
+    old = raster_pallas._COVER_FORM
+    raster_pallas._COVER_FORM = form
+    try:
+        assert_same(buf)
+    finally:
+        raster_pallas._COVER_FORM = old
+
+
 def test_origin_slab_matches_full_frame(rng):
     # Row-slab rendering via origin/full_size must reproduce the full-frame
     # result slab by slab (the multi-device sp-sharding path).
