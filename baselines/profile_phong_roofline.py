@@ -88,7 +88,7 @@ def main():
     from f_renderer_tpu.math import set_rotate
     from f_renderer_tpu.pipeline.fused import pack_fused
     from f_renderer_tpu.pipeline.raster_pallas import (
-        _MAXX, _MAXY, _MINX, _MINY,
+        _MAXXY, _MINXY, _unpack_xy,
     )
     from f_renderer_tpu.pipeline.render import build_triangles, rasterize
     from f_renderer_tpu.pipeline.shade import interpolate_context
@@ -116,8 +116,8 @@ def main():
     pages = -(-int(dims[:, 1].max()) // 128)
 
     nty, ntx = -(-H // TH), -(-W // TW)
-    minx, maxx = ti[_MINX], ti[_MAXX]
-    miny, maxy = ti[_MINY], ti[_MAXY]
+    minx, miny = (np.asarray(v) for v in _unpack_xy(ti[_MINXY]))
+    maxx, maxy = (np.asarray(v) for v in _unpack_xy(ti[_MAXXY]))
 
     # --- per-tile pair counts (exact bbox-tile intersections; at 6.4k
     # slots every span fits the k=6 fine caps, so own pairs = all pairs).

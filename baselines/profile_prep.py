@@ -27,7 +27,7 @@ def main():
     from f_renderer_tpu.math import set_rotate
     from f_renderer_tpu.pipeline.fused import pack_fused, prep_fused
     from f_renderer_tpu.pipeline.raster_pallas import (
-        _MINX, _MAXX, _MINY, _MAXY, _cdiv, bin_pairs,
+        _MINXY, _MAXXY, _cdiv, _unpack_xy, bin_pairs,
     )
     from f_renderer_tpu.pipeline.render import build_triangles
 
@@ -56,8 +56,8 @@ def main():
     ti = np.asarray(ti)
     th = 32 if tri0.num_slots > 300_000 else cfg.tile[0]
     tw = cfg.tile[1]
-    minx, maxx = ti[_MINX], ti[_MAXX]
-    miny, maxy = ti[_MINY], ti[_MAXY]
+    minx, miny = _unpack_xy(ti[_MINXY])
+    maxx, maxy = _unpack_xy(ti[_MAXXY])
     ne = (maxx > minx) & (maxy > miny)
     sx = np.maximum(maxx - 1, minx) // tw - minx // tw + 1
     sy = np.maximum(maxy - 1, miny) // th - miny // th + 1
@@ -77,7 +77,7 @@ def main():
     def stage_pack(angle, vs_u, draws):
         tri = tri_of(angle, vs_u, draws)
         ti, tf = pack_fused(tri, cfg)
-        return ti[0, 0] + ti[_MAXX, -1] + tf[0, 0].astype(jnp.int32)
+        return ti[0, 0] + ti[_MAXXY, -1] + tf[0, 0].astype(jnp.int32)
 
     def stage_bin(angle, vs_u, draws):
         tri = tri_of(angle, vs_u, draws)

@@ -46,8 +46,8 @@ from f_renderer_tpu.pipeline.types import TriangleBuffer
 
 ORDER_NONE = -2147483648
 
-# tri_i32 field columns. Real fields are CONTIGUOUS in rows 0..13 with the
-# two sublane-pad rows at the tail, so the prep's pair-order gather can
+# tri_i32 field columns. Real fields are CONTIGUOUS in rows 0..11 with the
+# four sublane-pad rows at the tail, so the prep's pair-order gather can
 # fetch only NF_I_REAL rows (fused._pair_gather) and re-append the pad —
 # the pad rows cost a write but never a gather read. Constraint: _SLOT/_PS
 # must sit in rows [8, 16) — the deferred kernel DMAs that sublane-aligned
@@ -63,14 +63,27 @@ _A01, _B01, _C01, _A20, _B20, _C20 = range(6)
 # argument) — the kernel derives e12 from it in 2 vector ops instead of 4.
 _AREA2 = 6
 _ORDER = 7
-_MINX, _MAXX, _MINY, _MAXY = 8, 9, 10, 11
-_SLOT = 12  # original TriangleBuffer slot id (winner ids index that buffer)
+# Clamped bbox, PACKED two u16 per row: x | (y << 16). The bounds are
+# clamped to [0, width/height] at pack time (and width/height < 32768 is
+# asserted), so both halves are non-negative and `v >> 16` / `v & 0xFFFF`
+# recover them exactly. One SMEM read + 2 scalar ALU ops replaces two SMEM
+# reads per pair in the kernel's hot loop, and the i32 field block shrinks
+# 14 → 12 rows — the prep's pair-order gather (the measured stress4k prep
+# mountain) gathers 2 fewer rows per pair.
+_MINXY = 8  # min_x | (min_y << 16)
+_MAXXY = 9  # max_x | (max_y << 16)
+_SLOT = 10  # original TriangleBuffer slot id (winner ids index that buffer)
 # bits 0..7: ps_index (texture/draw selector; ≤256 draws — asserted at
 # build); bits 8..10: the three top-left fill-rule flags (renderer.rs:26-29)
-_PS = 13
+_PS = 11
 PS_MASK = 0xFF
-NF_I_REAL = 14
+NF_I_REAL = 12
 NF_I = 16
+
+
+def _unpack_xy(v):
+    """(x | y << 16) → (x, y); exact for clamped non-negative halves."""
+    return v & 0xFFFF, v >> 16
 # tri_f32 field columns
 _S0X, _S0Y, _S1X, _S1Y, _S2X, _S2Y = range(6)
 _RHW0, _RHW1, _RHW2 = 6, 7, 8
@@ -116,6 +129,9 @@ def pack_setup(
     (vertex-major: v0 ch0..C-1, v1 ch0..C-1, v2 ch0..C-1).
     """
     m = tri.num_slots
+    # The packed-u16 bbox rows need both halves in [0, 32767] (see the
+    # _MINXY field comment); the clamps below guarantee it given this.
+    assert 0 < width < 32768 and 0 < height < 32768, (width, height)
     sx = tri.spi[:, 0]  # (3, M) planes — TriangleBuffer is planar
     sy = tri.spi[:, 1]
     valid = tri.valid
@@ -163,10 +179,8 @@ def pack_setup(
             c20,
             area2,
             tri.order,
-            min_x,
-            max_x,
-            min_y,
-            max_y,
+            min_x | (min_y << 16),
+            max_x | (max_y << 16),
             jnp.arange(m, dtype=jnp.int32),
             ps_tl,
         ],
@@ -208,8 +222,8 @@ def compact_sort(tri_i32, tri_f32, tile: tuple[int, int], fw: int):
     kernel's chunk-skip test rejects almost all (tile, chunk) pairs.
     """
     th, tw = tile
-    minx, maxx = tri_i32[_MINX], tri_i32[_MAXX]
-    miny, maxy = tri_i32[_MINY], tri_i32[_MAXY]
+    minx, miny = _unpack_xy(tri_i32[_MINXY])
+    maxx, maxy = _unpack_xy(tri_i32[_MAXXY])
     empty = (maxx <= minx) | (maxy <= miny)
     cty = ((miny + maxy) // 2) // th
     ctx_ = ((minx + maxx) // 2) // tw
@@ -229,13 +243,14 @@ def chunk_bounds(tri_i32, chunk: int):
     m_pad = tri_i32.shape[1]
     nchunks = m_pad // chunk
 
-    def r(col):
-        return tri_i32[col].reshape(nchunks, chunk)
+    def r(col, half):
+        x, y = _unpack_xy(tri_i32[col])
+        return (x if half == 0 else y).reshape(nchunks, chunk)
 
-    cminx = jnp.min(r(_MINX), axis=1)
-    cmaxx = jnp.max(r(_MAXX), axis=1)
-    cminy = jnp.min(r(_MINY), axis=1)
-    cmaxy = jnp.max(r(_MAXY), axis=1)
+    cminx = jnp.min(r(_MINXY, 0), axis=1)
+    cmaxx = jnp.max(r(_MAXXY, 0), axis=1)
+    cminy = jnp.min(r(_MINXY, 1), axis=1)
+    cmaxy = jnp.max(r(_MAXXY, 1), axis=1)
     cany = ((cmaxx > cminx) & (cmaxy > cminy)).astype(jnp.int32)
     return jnp.stack([cminx, cmaxx, cminy, cmaxy, cany])
 
@@ -285,10 +300,12 @@ def bin_pairs(
     ntilesc = ntyc * ntxc
     big = jnp.int32(ntiles + ntilesc + 1)
     y_org, x_org = origin  # may be traced (sharded row slabs)
-    minx = jnp.clip(tri_i32[_MINX] - x_org, 0, ntx * tw)
-    maxx = jnp.clip(tri_i32[_MAXX] - x_org, 0, ntx * tw)
-    miny = jnp.clip(tri_i32[_MINY] - y_org, 0, nty * th)
-    maxy = jnp.clip(tri_i32[_MAXY] - y_org, 0, nty * th)
+    bminx, bminy = _unpack_xy(tri_i32[_MINXY])
+    bmaxx, bmaxy = _unpack_xy(tri_i32[_MAXXY])
+    minx = jnp.clip(bminx - x_org, 0, ntx * tw)
+    maxx = jnp.clip(bmaxx - x_org, 0, ntx * tw)
+    miny = jnp.clip(bminy - y_org, 0, nty * th)
+    maxy = jnp.clip(bmaxy - y_org, 0, nty * th)
     nonempty = (maxx > minx) & (maxy > miny)
     tx0 = minx // tw
     tx1 = jnp.maximum(maxx - 1, minx) // tw
@@ -388,10 +405,12 @@ def bin_direct(tri_i32, tile: tuple[int, int], grid_hw: tuple[int, int],
     ntilesc = ntyc * ntxc
     big = jnp.int32(ntiles + ntilesc + 1)
     y_org, x_org = origin
-    minx = jnp.clip(tri_i32[_MINX] - x_org, 0, ntx * tw)
-    maxx = jnp.clip(tri_i32[_MAXX] - x_org, 0, ntx * tw)
-    miny = jnp.clip(tri_i32[_MINY] - y_org, 0, nty * th)
-    maxy = jnp.clip(tri_i32[_MAXY] - y_org, 0, nty * th)
+    bminx, bminy = _unpack_xy(tri_i32[_MINXY])
+    bmaxx, bmaxy = _unpack_xy(tri_i32[_MAXXY])
+    minx = jnp.clip(bminx - x_org, 0, ntx * tw)
+    maxx = jnp.clip(bmaxx - x_org, 0, ntx * tw)
+    miny = jnp.clip(bminy - y_org, 0, nty * th)
+    maxy = jnp.clip(bmaxy - y_org, 0, nty * th)
     nonempty = (maxx > minx) & (maxy > miny)
     tx0 = minx // tw
     tx1 = jnp.maximum(maxx - 1, minx) // tw
@@ -501,8 +520,8 @@ def _make_kernel(
             ungated = not binned if gated is None else not gated
 
             def tri_body(t, carry):
-                maxx = read_i(_MAXX, t)
-                maxy = read_i(_MAXY, t)
+                # One packed SMEM read + 2 scalar ALU ops for both bounds.
+                maxx, maxy = _unpack_xy(read_i(_MAXXY, t))
                 if ungated:
                     # Exact per-tile lists: every pair in range belongs here
                     # (boundary bleed is masked by the cover tests); a scalar
@@ -514,8 +533,7 @@ def _make_kernel(
                 # Chunk-scan mode: most triangles in a DMA'd chunk miss this
                 # tile; skipping their vector work (~60 VPU ops on the whole
                 # tile) behind one scalar test is the main throughput lever.
-                minx = read_i(_MINX, t)
-                miny = read_i(_MINY, t)
+                minx, miny = _unpack_xy(read_i(_MINXY, t))
                 hit = (
                     (minx < ox + tw) & (maxx > ox) & (miny < oy + th) & (maxy > oy)
                 )

@@ -132,7 +132,7 @@ def test_bin_pairs_exact_coverage(rng, k):
     # fine range, its coarse tile's range, or the spill bucket (the
     # hierarchical scheme; small k forces heavy coarse/spill use).
     from f_renderer_tpu.pipeline.raster_pallas import (
-        _MAXX, _MAXY, _MINX, _MINY, COARSE, bin_pairs, pack_setup,
+        _MAXXY, _MINXY, COARSE, _unpack_xy, bin_pairs, pack_setup,
     )
 
     buf = make_buffer(rng, n_faces=40, spread=2.0)
@@ -157,8 +157,8 @@ def test_bin_pairs_exact_coverage(rng, k):
         coarse = set(ptri[off[c] : off[c + 1]].tolist())
         y0, x0 = ty * th, tx * tw
         for s in range(m):
-            minx, maxx = ti[_MINX, s], ti[_MAXX, s]
-            miny, maxy = ti[_MINY, s], ti[_MAXY, s]
+            minx, miny = (int(v) for v in _unpack_xy(ti[_MINXY, s]))
+            maxx, maxy = (int(v) for v in _unpack_xy(ti[_MAXXY, s]))
             overlaps = (
                 maxx > minx and maxy > miny
                 and minx < x0 + tw and maxx > x0
@@ -198,7 +198,7 @@ def test_bin_direct_exact_coverage(rng):
     # spill bucket — and own ranges must contain ONLY triangles whose bbox
     # lies entirely inside that tile (they are ungated in the kernel).
     from f_renderer_tpu.pipeline.raster_pallas import (
-        _MAXX, _MAXY, _MINX, _MINY, COARSE, bin_direct, pack_setup,
+        _MAXXY, _MINXY, COARSE, _unpack_xy, bin_direct, pack_setup,
     )
 
     buf = make_buffer(rng, n_faces=40, spread=2.0)
@@ -222,8 +222,8 @@ def test_bin_direct_exact_coverage(rng):
         coarse = set(perm[off[c] : off[c + 1]].tolist())
         y0, x0 = ty * th, tx * tw
         for s in range(m_pad):
-            minx, maxx = ti[_MINX, s], ti[_MAXX, s]
-            miny, maxy = ti[_MINY, s], ti[_MAXY, s]
+            minx, miny = (int(v) for v in _unpack_xy(ti[_MINXY, s]))
+            maxx, maxy = (int(v) for v in _unpack_xy(ti[_MAXXY, s]))
             overlaps = (
                 maxx > minx and maxy > miny
                 and minx < x0 + tw and maxx > x0
