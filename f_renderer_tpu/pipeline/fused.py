@@ -423,7 +423,13 @@ def render_fused_prepared(
         pages = stack.pages
         opaque = bool(getattr(stack, "opaque", False))
     else:
-        texpk = jnp.zeros((1, LANES), jnp.int32)
+        # Dummy stack must honor the page-major 8-row-aligned layout
+        # (texture.py:pack_rgba8): the default grp sampler mode loads one
+        # aligned (8, 128) tile per row group, so even an hmax=1 dummy
+        # needs hmax_padded(1) = 8 physical rows.
+        from f_renderer_tpu.shaders.texture import hmax_padded
+
+        texpk = jnp.zeros((hmax_padded(1), LANES), jnp.int32)
         dims = jnp.ones((1, 2), jnp.int32)
         hmax = 1
         pages = 1

@@ -13,9 +13,10 @@ renderer.rs:427-471): ``create`` quantizes float inputs to u8 once, so
 every texel value is k/255. Two device representations are kept:
 
 - ``data``  (T, Hmax, Wmax, 4) f32 — the XLA gather path / golden oracle.
-- ``packed`` (T·Hmax·pages, 128) i32 — RGBA8 packed per texel, the x axis
-  split into ``pages`` lanes-of-128 pages (flat row =
-  t·Hmax·pages + y·pages + page). This is what Pallas kernels keep in VMEM:
+- ``packed`` (T·pages·Hmax8, 128) i32 — RGBA8 packed per texel, the x axis
+  split into ``pages`` lanes-of-128 pages, PAGE-MAJOR with 8-row-aligned
+  blocks (flat row = (t·pages + page)·Hmax8 + y, Hmax8 = hmax_padded(Hmax);
+  see pack_rgba8). This is what Pallas kernels keep in VMEM:
   4 bytes/texel instead of 16, and any texture width (the r1 fused path was
   limited to 128-px-wide textures).
 """
@@ -83,7 +84,7 @@ def pack_rgba8(q: np.ndarray) -> np.ndarray:
 class TextureStack:
     data: jnp.ndarray  # (T, Hmax, Wmax, 4) f32 in [0,1], u8-backed
     dims: jnp.ndarray  # (T, 2) i32 — (height, width) per texture
-    packed: jnp.ndarray  # (T·Hmax·pages, 128) i32 — RGBA8 packed, x paged
+    packed: jnp.ndarray  # (T·pages·Hmax8, 128) i32 — RGBA8, page-major
     # Static: every real texel's alpha is 255 (the common case — image
     # diffuse maps). Lets the pallas sampler accumulate alpha as the plain
     # weight sum (exactly w·1.0 per tap) instead of unpacking the byte.

@@ -93,7 +93,7 @@ def _rmax(x):
 
 
 def sample_packed_planar(
-    tex_ref,  # VMEM ref (T·Hmax·pages, 128) i32 — packed stack
+    tex_ref,  # VMEM ref (T·pages·Hmax8, 128) i32 — page-major packed stack
     dims,  # SMEM ref (T, 2) i32 or concrete array
     ps,  # (bs, 128) i32 — per-pixel texture id, -1 = invalid
     u,  # (bs, 128) f32
@@ -128,7 +128,9 @@ def sample_packed_planar(
     lowerings differ by ulps, breaking bit-parity on hardware).
     """
     shape = ps.shape
-    hmax_pad = _cdiv(hmax, 8) * 8  # texture.py:pack_rgba8 row padding
+    from f_renderer_tpu.shaders.texture import hmax_padded
+
+    hmax_pad = hmax_padded(hmax)  # texture.py:pack_rgba8 row padding
     acc = tuple(jnp.zeros(shape, jnp.float32) for _ in range(4))
     for t in range(t_count):
         sel = ps == t
@@ -442,7 +444,7 @@ def _sample_kernel(
 
 
 def sample_bilinear_pallas(
-    packed: jnp.ndarray,  # (T·Hmax·pages, 128) i32 — TextureStack.packed
+    packed: jnp.ndarray,  # (T·pages·Hmax8, 128) i32 — TextureStack.packed
     dims: jnp.ndarray,  # (T, 2) i32
     index: jnp.ndarray,  # (...,) i32, -1 = invalid
     uv: jnp.ndarray,  # (..., 2) f32
@@ -459,8 +461,10 @@ def sample_bilinear_pallas(
     Output for index < 0 pixels is garbage (callers mask); out-of-range uv
     follows the reference clamp semantics.
     """
+    from f_renderer_tpu.shaders.texture import hmax_padded
+
     t = dims.shape[0]
-    hmax_pad = _cdiv(hmax, 8) * 8
+    hmax_pad = hmax_padded(hmax)
     assert packed.shape[0] == t * hmax_pad * pages, (
         packed.shape, t, hmax, hmax_pad, pages,
     )

@@ -42,6 +42,9 @@ STEP_MODE = _os.environ.get("FR_VOXEL_STEPS", "par")
 # already lands rays ~2 steps from the next event, so long groups mostly
 # query past the stop). Serial mode keeps its fixed 8.
 GROUP = int(_os.environ.get("FR_VOXEL_GROUP", "4"))
+# Fail at the knob, not deep inside kernel tracing (GROUP=0 would build an
+# empty step group and IndexError on stops[0]).
+assert GROUP >= 1, f"FR_VOXEL_GROUP must be >= 1, got {GROUP}"
 
 
 def _cdiv(a, b):

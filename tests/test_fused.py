@@ -151,6 +151,29 @@ def test_wide_texture_fused():
     assert (np.asarray(frame)[..., 0] != 30).sum() > 300
 
 
+def test_textured_without_stack_uses_dummy():
+    """A textured/phong shader with NO texture stack in ps_uniform is a
+    legal fused-path input (fused_path_ok returns True for stack=None) and
+    must trace: the dummy stack has to honor the page-major 8-row-aligned
+    packed layout the grp sampler loads (regression — a (1, 128) dummy
+    failed the (8, 128) aligned tile load at trace time)."""
+    scene = make_phong_scene(
+        128, 96, meshes=[make_cube()], clip_cap=16, shader="textured"
+    )
+    tri, _ = build_triangles(
+        scene.draws, scene.vertex_shader, scene.vs_uniform, scene.config
+    )
+    ps_uniform = {k: v for k, v in scene.ps_uniform.items() if k != "textures"}
+    frame, depth, winner = render_fused_pallas(
+        tri, scene.pixel_shader, ps_uniform, scene.config, interpret=True
+    )
+    assert frame.shape == (scene.config.height, scene.config.width, 4)
+    # Covered pixels sample the all-zero dummy texel (alpha included).
+    covered = np.asarray(winner) >= 0
+    assert covered.any()
+    assert (np.asarray(frame)[covered] == 0).all()
+
+
 def test_oversized_texture_falls_back(monkeypatch):
     """A stack past the VMEM budget must select the non-fused pallas path,
     not crash in fused prep (VERDICT r1 weak #4)."""
