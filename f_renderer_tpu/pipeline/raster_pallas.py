@@ -108,6 +108,50 @@ import os as _os
 
 _COVER_FORM = _os.environ.get("FR_COVER", "or")
 
+# Pair-merge formulation for the unrolled deferred own-range loop (A/B knob,
+# baselines/profile_merge.py). "seq": each unrolled pair's accept/select
+# chain reads the previous pair's depth/worder — the whole group is one
+# serial dependence chain (r1-r4). "tree": compute the group's pair
+# candidates (rhw', order', pair id) carry-independently, reduce them in a
+# binary tree, then fold once into the carry — the front-ends become
+# instruction-level parallel and the dependence chain shrinks from
+# `unroll` full bodies to one front-end + log2(unroll)+1 merges. EXACT by
+# the merge algebra (module docstring): the per-pixel result is the strict
+# lexicographic max of (rhw, order) over {background} ∪ pairs — associative
+# and commutative (orders are unique per tile; the clamped-tail duplicate
+# has equal keys AND equal payload, so either pick is identical), and a
+# non-covered candidate masked to the background key (0.0, ORDER_NONE)
+# can never win a strict comparison against the carry.
+_MERGE_FORM = _os.environ.get("FR_MERGE", "seq")
+
+
+def _merge_pair_cand(acc, cand):
+    """Fold one (rhw, order, payload) candidate into an accumulator by the
+    strict lexicographic (rhw, order) max (renderer.rs:361-366 semantics:
+    a challenger replaces the incumbent only when strictly greater)."""
+    d, o, w = acc
+    kd, ko, kw = cand
+    take = (kd > d) | ((kd == d) & (ko > o))
+    return (
+        jnp.where(take, kd, d),
+        jnp.where(take, ko, o),
+        jnp.where(take, kw, w),
+    )
+
+
+def _tree_merge_cands(cands):
+    """Binary-tree reduction of pair candidates (order-free by the merge
+    algebra); halves the dependence depth vs a linear fold."""
+    while len(cands) > 1:
+        nxt = [
+            _merge_pair_cand(cands[i], cands[i + 1])
+            for i in range(0, len(cands) - 1, 2)
+        ]
+        if len(cands) % 2:
+            nxt.append(cands[-1])
+        cands = nxt
+    return cands[0]
+
 
 def _cdiv(a, b):
     return -(-a // b)
@@ -664,6 +708,66 @@ def _make_kernel(
 
             return tri_body
 
+        def make_pair_cand(read_i, read_f, pair_base):
+            """Carry-independent pair front-end for _MERGE_FORM == "tree".
+
+            Returns (rhw', order', pair_id) with non-covered pixels masked
+            to the background key (0.0, ORDER_NONE). The math is op-for-op
+            _tri_vector_work's deferred path (same reads, same expression
+            shapes — bit-identical rhw), minus the carry-dependent
+            accept/select tail; the exact-winner oracle tests pin the two
+            bodies together.
+            """
+
+            def cand(t):
+                maxx, maxy = _unpack_xy(read_i(_MAXXY, t))
+                a01, b01, c01 = (
+                    read_i(_A01, t), read_i(_B01, t), read_i(_C01, t)
+                )
+                a20, b20, c20 = (
+                    read_i(_A20, t), read_i(_B20, t), read_i(_C20, t)
+                )
+                e01 = a01 * cx + b01 * cy + c01
+                e20 = a20 * cx + b20 * cy + c20
+                e12 = read_i(_AREA2, t) - e01 - e20
+                if _COVER_FORM == "or":
+                    cover = (
+                        e01 | e12 | e20 | (maxx - 1 - cx) | (maxy - 1 - cy)
+                    ) >= 0
+                else:
+                    cover = (
+                        (e01 >= 0)
+                        & (e12 >= 0)
+                        & (e20 >= 0)
+                        & (cx < maxx)
+                        & (cy < maxy)
+                    )
+                s0x = read_f(_S0X, t) - pcx
+                s0y = read_f(_S0Y, t) - pcy
+                s1x = read_f(_S1X, t) - pcx
+                s1y = read_f(_S1Y, t) - pcy
+                s2x = read_f(_S2X, t) - pcx
+                s2y = read_f(_S2Y, t) - pcy
+                a = jnp.abs(s1x * s2y - s1y * s2x)
+                b = jnp.abs(s2x * s0y - s2y * s0x)
+                c = jnp.abs(s0x * s1y - s0y * s1x)
+                s = a + b + c
+                cover = cover & (s != 0.0)
+                inv_s = 1.0 / s
+                la = a * inv_s
+                lb = b * inv_s
+                lc = c * inv_s
+                rhw = (
+                    read_f(_RHW0, t) * la
+                    + read_f(_RHW1, t) * lb
+                    + read_f(_RHW2, t) * lc
+                )
+                key = jnp.where(cover, rhw, 0.0)
+                o = jnp.where(cover, read_i(_ORDER, t), ORDER_NONE)
+                return key, o, pair_base + t
+
+            return cand
+
         if binned:
             # Spill triangles (span > k tiles) are scanned by every tile —
             # gate their vector work per-triangle; own-range pairs are exact.
@@ -674,6 +778,11 @@ def _make_kernel(
                     gated=gated,
                     pair_base=pair_base,
                 )
+            )
+            _make_slot_cand = lambda slot, pair_base: make_pair_cand(
+                lambda col, t: vi_ref[slot, col, t],
+                lambda col, t: vf_ref[slot, col, t],
+                pair_base,
             )
         else:
             tri_body = make_tri_body(
@@ -910,7 +1019,35 @@ def _make_kernel(
                 own_body = _make_slot_tri_body(
                     slot, gated=False, pair_base=pair_base
                 )
-                if unroll > 1:
+                use_tree = (
+                    unroll > 1
+                    and deferred
+                    and _MERGE_FORM == "tree"
+                    and _DEBUG_PAIR_BODY is None
+                )
+                if use_tree:
+                    # Tree-merged unrolled own-range loop (_MERGE_FORM
+                    # docstring): per-group candidates are computed with no
+                    # carry dependence, tree-reduced, and folded once into
+                    # (depth, worder, wpair). Same clamped-tail idempotence
+                    # as the seq unroll below.
+                    own_cand = _make_slot_cand(slot, pair_base)
+
+                    def own_loop(c):
+                        n_u = (hi - lo + (unroll - 1)) // unroll
+
+                        def body(j, cc):
+                            t = lo + j * unroll
+                            cands = [
+                                own_cand(jnp.minimum(t + u, hi - 1))
+                                for u in range(unroll)
+                            ]
+                            return _merge_pair_cand(
+                                cc, _tree_merge_cands(cands)
+                            )
+
+                        return jax.lax.fori_loop(0, n_u, body, c)
+                elif unroll > 1:
                     # Unrolled own-range loop: `unroll` pairs per iteration
                     # with NO tail masking — out-of-range steps clamp to the
                     # last pair and reprocess it, which the idempotent

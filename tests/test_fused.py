@@ -116,6 +116,31 @@ def test_tile_auto_32row():
     fused_vs_jnp(scene)
 
 
+@pytest.mark.parametrize("u", [2, 4])
+def test_tree_merge_exact(u):
+    """FR_MERGE=tree (tree-reduced unrolled deferred pair merge) must
+    reproduce the oracle exactly: the strict lexicographic (rhw, order)
+    max is associative and commutative (raster_pallas._MERGE_FORM), so the
+    merge shape cannot change winners or depth bits."""
+    from f_renderer_tpu.pipeline import raster_pallas
+
+    cube2 = make_cube(0.7)
+    cube2["pos"] = cube2["pos"] + np.array([0.9, 0.2, 0.0], np.float32)
+    scene = make_phong_scene(128, 96, meshes=[make_cube(), cube2], clip_cap=32)
+    scene = dataclasses.replace(
+        scene,
+        config=dataclasses.replace(
+            scene.config, tile=(16, 128), unroll_pairs=u
+        ),
+    )
+    old = raster_pallas._MERGE_FORM
+    raster_pallas._MERGE_FORM = "tree"
+    try:
+        fused_vs_jnp(scene)
+    finally:
+        raster_pallas._MERGE_FORM = old
+
+
 def test_pair_budget_forms_exact():
     """Both pair-budget gather forms (8 uniform cond-gated segments; the
     explicit frac head + cond tail) must be exact vs the unbudgeted
