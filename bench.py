@@ -9,8 +9,11 @@ compares against the single-core CPU reference implementation measured by
 ``baselines/measure_cpu.py`` into ``baselines/cpu_baseline.json`` (the
 reference repo publishes no numbers — BASELINE.md).
 
-Env knobs: BENCH_CONFIG (phong1080 | cube512 | gouraud800 | textured1080 |
-stress4k | all), BENCH_FRAMES (default 20), BENCH_BACKEND (pallas | jnp).
+Env knobs: BENCH_CONFIG (phong1080 | cube512 | cube1080 | gouraud800 |
+textured1080 | stress4k | voxel540 | voxel540dda | all), BENCH_FRAMES
+(default 10), BENCH_BACKEND (pallas | jnp), BENCH_BUDGET_S (all-mode wall
+budget, default 1500 — configs that no longer fit are skipped so the
+artifact still lands with rc=0).
 """
 
 from __future__ import annotations
@@ -138,23 +141,33 @@ def build_scene(name: str, backend: str):
     raise ValueError(name)
 
 
-def _scan_timer(run_n, frames: int) -> float:
+def _scan_timer(run_n, frames: int, reps: int = 3) -> float:
     """Honest per-frame time on an async/tunneled runtime.
 
     ``run_n(n)`` must execute n dependency-chained frames inside ONE jit
     dispatch and return a checksum scalar (forced readback — nothing can
     return early). Two-point fit (N vs 2N wall time) cancels the constant
     dispatch/readback overhead, which jitters by tens of ms on the tunnel.
+
+    Best-of-``reps`` fits: the r4 driver capture recorded phong1080 at
+    40 ms where a clean re-run of the SAME commit measured 5.78 (checksum
+    identical) — transient device/tunnel congestion can poison any single
+    fit, so the minimum over a few cheap repetitions is the number of
+    record. Measurement is seconds; compile (paid once, before this) is
+    the expensive part.
     """
     run_n(frames)  # warm (already compiled for this n or compiles now)
     run_n(2 * frames)
-    t0 = time.time()
-    run_n(frames)
-    w1 = time.time() - t0
-    t0 = time.time()
-    run_n(2 * frames)
-    w2 = time.time() - t0
-    return max((w2 - w1) / frames, w2 / (4 * frames), 1e-7)
+    best = float("inf")
+    for _ in range(max(1, reps)):
+        t0 = time.time()
+        run_n(frames)
+        w1 = time.time() - t0
+        t0 = time.time()
+        run_n(2 * frames)
+        w2 = time.time() - t0
+        best = min(best, max((w2 - w1) / frames, w2 / (4 * frames), 1e-7))
+    return best
 
 
 def bench_config(name: str, frames: int, backend: str):
@@ -376,46 +389,12 @@ def _wait_for_device(max_s: float) -> None:
         time.sleep(30)
 
 
-def _run_config_isolated(name: str, frames: int) -> dict | None:
-    """Run one config in a fresh python (same env, BENCH_CONFIG=name).
-
-    Sequential configs inside one process contaminate each other's timing:
-    the r4-start all-run measured voxel540 at 17.4 ms right after stress4k
-    vs 7.3 ms in a fresh process (2.4× phantom — device queue/allocator
-    state left by the 1M-tri programs). Per-config subprocesses also
-    isolate failures; the persistent compile cache keeps re-init cheap.
-    """
-    import sys
-
-    env = dict(os.environ, BENCH_CONFIG=name, BENCH_FRAMES=str(frames))
-    env["BENCH_DEVICE_WAIT_S"] = env.get("BENCH_DEVICE_WAIT_S", "900")
-    try:
-        stdout, stderr, rc = _run_group(
-            [sys.executable, os.path.abspath(__file__)],
-            timeout=3600,
-            env=env,
-        )
-    except OSError as e:
-        _log(f"[{name}] FAILED to launch: {e}")
-        return None
-    sys.stderr.write(stderr or "")
-    if rc is None:
-        _log(f"[{name}] FAILED: subprocess hung past 3600 s; group killed")
-        return None
-    if rc != 0:
-        _log(f"[{name}] FAILED: subprocess rc={rc}")
-        return None
-    try:
-        out = json.loads(stdout.strip().splitlines()[-1])
-        r = out["configs"][name]
-        return {
-            "config": name,
-            "frame_ms": r["frame_ms"],
-            "mpix_per_s": r["mpix_per_s"],
-        }
-    except Exception as e:
-        _log(f"[{name}] FAILED to parse subprocess output: {e}")
-        return None
+def _bench_one(name: str, frames: int, backend: str):
+    if name == "voxel540":
+        return bench_voxel(frames)
+    if name == "voxel540dda":
+        return bench_voxel(frames, traversal="dda", name="voxel540dda")
+    return bench_config(name, frames, backend)
 
 
 def main():
@@ -424,18 +403,62 @@ def main():
     config = os.environ.get("BENCH_CONFIG", "all")
     frames = int(os.environ.get("BENCH_FRAMES", "10"))
     backend = os.environ.get("BENCH_BACKEND", "")
+    # Overall wall budget for the `all` artifact run (VERDICT r4 #2): the
+    # driver kills bench.py at its own deadline (r3 rc=1, r4 rc=124 — two
+    # rounds with parsed:null), so bench must (a) finish inside a budget and
+    # (b) emit incrementally so even a kill keeps the completed configs.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    t_start = time.time()
     _wait_for_device(float(os.environ.get("BENCH_DEVICE_WAIT_S", "900")))
 
     if config == "all":
+        # ONE process for the whole list. The r4 artifact run used a fresh
+        # subprocess per config: each re-paid a 69-280 s cold remote compile
+        # (the persistent cache does not hit across processes on axon) and
+        # the run died at rc=124 after 8/8ths of the budget — while the r2
+        # in-process artifact compiled at 43 s then 13-26 s per config
+        # (session-warm lowering) and finished in ~6 min. Subprocess purity
+        # is for optimization A/Bs, not the artifact run; best-of-3 fits in
+        # _scan_timer handle transient contamination instead.
+        #
+        # Order: flagship first (phong1080 is the phong.rs headline), the
+        # cheap configs next, stress4k LAST — its 1M-triangle programs leave
+        # device/allocator state that measurably contaminates followers
+        # (voxel540 17.4 ms right after stress4k vs 7.3 fresh, r4 probe),
+        # so nothing may follow it.
         names = [
-            "cube512", "cube1080", "gouraud800", "textured1080", "phong1080",
-            "stress4k", "voxel540", "voxel540dda",
+            "phong1080", "voxel540", "voxel540dda", "textured1080",
+            "cube1080", "gouraud800", "cube512", "stress4k",
         ]
+        # Conservative per-config cost ceilings (cold compile + measure, s)
+        # for the budget gate — measured: triangle configs 65-110 s cold
+        # compile in-process, voxel ~15-30 s, stress4k ~70 s compile +
+        # ~25 s of 345 ms×30×2 frames.
+        est = {"voxel540": 90, "voxel540dda": 90, "stress4k": 240}
+        enable_compilation_cache()
+        if not backend:
+            import jax
+
+            backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
         results = {}
+        import gc
+
         for n in names:
-            r = _run_config_isolated(n, frames)
-            if r is not None:
-                results[n] = r
+            left = budget_s - (time.time() - t_start)
+            if left < est.get(n, 180):
+                _log(f"[{n}] SKIPPED: {left:.0f}s left of {budget_s:.0f}s "
+                     "budget")
+                continue
+            try:
+                results[n] = _bench_one(n, frames, backend)
+            except Exception as e:
+                _log(f"[{n}] FAILED: {type(e).__name__}: {e}")
+                continue
+            # Emit the cumulative artifact NOW (flushed): a later kill or
+            # failure must not lose the configs already measured. The last
+            # printed line is always the most complete.
+            _emit(results)
+            gc.collect()
         if not results:
             raise SystemExit("all bench configs failed")
         _emit(results)
@@ -447,14 +470,7 @@ def main():
 
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
 
-    results = {
-        config: (
-            bench_voxel(frames) if config == "voxel540"
-            else bench_voxel(frames, traversal="dda", name="voxel540dda")
-            if config == "voxel540dda"
-            else bench_config(config, frames, backend)
-        )
-    }
+    results = {config: _bench_one(config, frames, backend)}
     _emit(results)
 
 
@@ -491,7 +507,8 @@ def _emit(results):
                     for n, r in results.items()
                 },
             }
-        )
+        ),
+        flush=True,
     )
 
 
