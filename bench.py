@@ -381,6 +381,12 @@ def _wait_for_device(max_s: float) -> None:
         except OSError as e:
             _log(f"device probe failed to launch: {e}")
         if ok:
+            # Settle before the PARENT initializes its own backend: a new
+            # axon client connecting immediately as another (here: the probe
+            # subprocess) disconnects can wedge forever in init — observed
+            # twice today (futex-wait, 0 CPU, single thread). ~40% hit rate
+            # on back-to-back connects; a short gap avoids the window.
+            time.sleep(10)
             return
         if time.time() >= deadline:
             _log("device wait timed out; proceeding (bench may fail)")

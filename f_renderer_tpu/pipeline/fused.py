@@ -22,6 +22,7 @@ flat/gouraud → color; textured → uv; phong → normal(3), pos(3), uv(2).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -224,7 +225,16 @@ def prep_fused_packed(
     w_pad = _cdiv(width, tw) * tw
     if m_dummy is None:
         m_dummy = n_slots
-    mode = getattr(config, "bin_mode", None) or "pairs"
+    mode = getattr(config, "bin_mode", None) or os.environ.get(
+        "FR_PAIRS", ""
+    ) or "pairs"
+    deferred_ok = bool(
+        n_ctx
+        and chunk == tw
+        and getattr(config, "deferred_interp", None) is not False
+    )
+    if mode == "strip" and not (deferred_ok and th % 8 == 0):
+        mode = "pairs"  # strip groups need the deferred carry layout
     if mode == "direct" and n_slots > tile_auto_threshold:
         # Defused (VERDICT r3 weak #5): direct binning's shared spill
         # bucket (multi-coarse-span triangles, ~3-5% of a 1M-tri scene) is
@@ -235,11 +245,21 @@ def prep_fused_packed(
         # at ~15 cyc/reject, so above the huge-scene threshold the knob
         # silently routes to "pairs" instead of pathologizing the frame.
         mode = "pairs"
+    b_fine = 0
     if mode == "direct":
         from f_renderer_tpu.pipeline.raster_pallas import bin_direct
 
         ptri, off = bin_direct(
             tri_i32, (th, tw), (h_pad // th, w_pad // tw), origin=origin
+        )
+    elif mode == "strip":
+        # Fragment-level strip decomposition (bin_pairs_strip docstring):
+        # interleaved groups of th//8 pairs, S-pairs-per-trip kernel loop.
+        from f_renderer_tpu.pipeline.raster_pallas import bin_pairs_strip
+
+        ptri, off, b_fine = bin_pairs_strip(
+            tri_i32, (th, tw), (h_pad // th, w_pad // tw), k, chunk,
+            m_dummy=m_dummy, origin=origin, kc=k,
         )
     else:
         ptri, off = bin_pairs(
@@ -264,7 +284,7 @@ def prep_fused_packed(
     # a 0.5 head would cond-gather the whole remainder every frame).
     frac = getattr(config, "pair_budget_frac", None)
     n_table = ptri.shape[0]
-    if mode != "pairs":
+    if mode == "direct":
         bounds = [n_table]
     elif frac is not None:
         cap = min(_cdiv(max(int(frac * n_table), 128), 128) * 128, n_table)
@@ -319,15 +339,13 @@ def prep_fused_packed(
         h_pad=h_pad, w_pad=w_pad, height=height, width=width,
         # Chunk-deferred varying interpolation (raster_pallas._make_kernel
         # docstring) needs the 128-lane in-chunk gather: chunk == tw.
-        deferred=bool(
-            n_ctx
-            and chunk == tw
-            and getattr(config, "deferred_interp", None) is not False
-        ),
+        deferred=deferred_ok,
         unroll=int(
             getattr(config, "unroll_pairs", None)
             or (2 if n_slots > tile_auto_threshold else 1)
         ),
+        strip=mode == "strip",
+        b_fine=b_fine,
     )
     return arrays, statics
 
@@ -467,6 +485,8 @@ def render_fused_prepared(
         th=th, tw=tw, chunk=chunk, id_base=0, n_ctx=n_ctx, epilogue=epilogue,
         binned=binned, deferred=deferred, cross_prefetch=cross_prefetch,
         bg_empty=bg_packed, unroll=int(statics.get("unroll", 1)),
+        strip=bool(statics.get("strip", False)),
+        b_fine=int(statics.get("b_fine", 0)),
     )
 
     grid = (h_pad // th, w_pad // tw)

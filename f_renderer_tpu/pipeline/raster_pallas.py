@@ -124,6 +124,17 @@ _COVER_FORM = _os.environ.get("FR_COVER", "or")
 # can never win a strict comparison against the carry.
 _MERGE_FORM = _os.environ.get("FR_MERGE", "seq")
 
+# Strip-decomposition probe (baselines/profile_strip.py): TIMING-ONLY
+# preview of a fragment-level pair decomposition. Groups of S = th//8 pairs
+# are processed per loop trip, pair s restricted to the (8, tw) row-strip s
+# of the tile — 1/S the vector work per pair, loop control and the carry
+# merge amortized over the group. The REAL design needs strip-binned
+# interleaved pair lists (prep work); this probe reuses the existing
+# per-tile lists and pretends pair s belongs to strip s, so outputs are
+# GARBAGE by design — it answers only "what does the kernel body cost in
+# this shape". NEVER set in production.
+_STRIP_PROBE = _os.environ.get("FR_STRIP_PROBE", "") == "1"
+
 
 def _merge_pair_cand(acc, cand):
     """Fold one (rhw, order, payload) candidate into an accumulator by the
@@ -422,6 +433,170 @@ def bin_pairs(
     return ptri_s, off
 
 
+def bin_pairs_strip(
+    tri_i32,
+    tile: tuple[int, int],
+    grid_hw: tuple[int, int],
+    nk_s: int,
+    chunk: int,
+    m_dummy: int,
+    origin=(0, 0),
+    kc: int = 6,
+):
+    """Strip-interleaved per-tile pair lists for the fragment-level kernel.
+
+    The whole-tile kernel pays ~th·tw/1024 vector registers of work per
+    PAIR even though a typical stress-scene triangle covers ~16 pixels.
+    This binning assigns each small triangle to the (8, tw) row-STRIPS its
+    bbox covers (one pair per strip) and lays each tile's pair list out in
+    GROUPS of S = th//8: position ``base + j·S + s`` holds the j-th pair of
+    strip s (dummy-padded where strips are unbalanced). The kernel then
+    processes S pairs per loop trip — pair s restricted to strip s — with
+    1/S the vector work per pair and ONE carry merge per group (the S strip
+    candidates cover disjoint rows). Exact: same cover/bary math per pixel,
+    and the (rhw, order) merge is associative/idempotent over any pair
+    order/duplication.
+
+    Two regions in the returned pair array:
+
+    - ``[0, B_fine)``: the strip-interleaved groups of BALANCED tiles
+      (interleaved length S·Lmax ≤ 4/3 · pair count — the static bound
+      that makes B_fine = ceil(4/3·nk·m) safe with no silent drops).
+    - ``[B_fine, B_fine + nk·m)``: the plain (tile, strip)-sorted list.
+      Imbalanced tiles' fine ranges point here (contiguous per tile) and
+      run the kernel's ordinary per-pair loop; the coarse / spill sections
+      also live here, as in :func:`bin_pairs`.
+
+    Returns ``(ptri (B_fine + nk·m,) i32, off)`` where ``off`` has TWO
+    entries per fine tile — ``off[2t] / off[2t+1]`` = start / end, regions
+    distinguished by ``start >= B_fine`` — followed by the shared-boundary
+    coarse offsets and the spill range:
+    ``off[2·ntiles + c]..off[2·ntiles + c + 1]`` and the final pair.
+    Balanced-tile group alignment: starts/lengths are multiples of S and
+    S divides chunk, so no group straddles a chunk boundary.
+    """
+    th, tw = tile
+    assert th % 8 == 0 and chunk % (th // 8) == 0, (th, chunk)
+    S = th // 8
+    nty, ntx = grid_hw
+    ntiles = nty * ntx
+    nstrips = ntiles * S
+    ntyc = _cdiv(nty, COARSE)
+    ntxc = _cdiv(ntx, COARSE)
+    ntilesc = ntyc * ntxc
+    big = jnp.int32(nstrips + ntilesc + 1)
+    y_org, x_org = origin
+    bminx, bminy = _unpack_xy(tri_i32[_MINXY])
+    bmaxx, bmaxy = _unpack_xy(tri_i32[_MAXXY])
+    minx = jnp.clip(bminx - x_org, 0, ntx * tw)
+    maxx = jnp.clip(bmaxx - x_org, 0, ntx * tw)
+    miny = jnp.clip(bminy - y_org, 0, nty * th)
+    maxy = jnp.clip(bmaxy - y_org, 0, nty * th)
+    nonempty = (maxx > minx) & (maxy > miny)
+    tx0 = minx // tw
+    tx1 = jnp.maximum(maxx - 1, minx) // tw
+    gs0 = miny // 8
+    gs1 = jnp.maximum(maxy - 1, miny) // 8
+    ncols = tx1 - tx0 + 1
+    nsrows = gs1 - gs0 + 1
+    sp = ncols * nsrows
+    small = nonempty & (sp <= nk_s)
+    ty0 = miny // th
+    ty1 = jnp.maximum(maxy - 1, miny) // th
+    ctx0, ctx1 = tx0 // COARSE, tx1 // COARSE
+    cty0, cty1 = ty0 // COARSE, ty1 // COARSE
+    ncolsc = ctx1 - ctx0 + 1
+    cspan = ncolsc * (cty1 - cty0 + 1)
+    mid = nonempty & ~small & (cspan <= kc)
+    spill = nonempty & ~small & ~mid
+
+    m = tri_i32.shape[1]
+    tri_ids = jnp.arange(m, dtype=jnp.int32)
+    nk = max(nk_s, kc)
+    keys = []
+    for j in range(nk):
+        gs = gs0 + j // ncols
+        col = tx0 + j % ncols
+        sty = gs // S
+        skey = (sty * ntx + col) * S + (gs - sty * S)
+        coarse = cty0 + j // ncolsc, ctx0 + j % ncolsc
+        kj = jnp.where(
+            small & (j < sp) & (j < nk_s),
+            skey,
+            jnp.where(
+                mid & (j < cspan) & (j < kc),
+                nstrips + coarse[0] * ntxc + coarse[1],
+                jnp.where(spill & (j == 0), nstrips + ntilesc, big),
+            ),
+        )
+        keys.append(kj)
+    key = jnp.concatenate(keys)
+    ptri = jnp.tile(tri_ids, nk)
+    nkeys_total = nstrips + ntilesc + 2
+    id_bits = max((m - 1).bit_length(), 1)
+    if nkeys_total.bit_length() + id_bits <= 31:
+        packed_s = jax.lax.sort((key << id_bits) | ptri)
+        key_s = packed_s >> id_bits
+        ptri_s = packed_s & jnp.int32((1 << id_bits) - 1)
+    else:
+        # The strip keyspace adds log2(S) bits over bin_pairs, so the
+        # packed single-operand sort usually does not fit 31 bits at
+        # 1M-slot scenes — pay the two-operand sort (~1.5x).
+        key_s, ptri_s = jax.lax.sort_key_val(key, ptri, is_stable=True)
+
+    n = nk * m
+    bnd = jnp.searchsorted(
+        key_s, jnp.arange(nstrips + ntilesc + 2, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = (bnd[1 : nstrips + 1] - bnd[:nstrips]).reshape(ntiles, S)
+    l_max = counts.max(axis=1)
+    count_tile = counts.sum(axis=1)
+    inter_len = S * l_max
+    # 4/3 balance bound: tiles whose interleave padding exceeds it keep the
+    # plain list (region 2) — this is what makes B_fine a STATIC safe bound
+    # (sum of accepted interleaved lengths <= 4/3 * total fine pairs).
+    balanced = inter_len * 3 <= count_tile * 4
+    fine_len = jnp.where(balanced, inter_len, 0)
+    tile_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(fine_len, dtype=jnp.int32)]
+    )
+    b_fine = _cdiv(_cdiv(4 * n, 3) + 1, chunk) * chunk
+
+    pos = jnp.arange(b_fine, dtype=jnp.int32)
+    t_of = jnp.clip(
+        jnp.searchsorted(tile_base, pos, side="right").astype(jnp.int32) - 1,
+        0,
+        ntiles - 1,
+    )
+    rel = pos - tile_base[t_of]
+    jj = rel // S
+    ss = rel - jj * S
+    sidx = t_of * S + ss
+    src = bnd[sidx] + jj
+    valid = (pos < tile_base[ntiles]) & (src < bnd[sidx + 1])
+    out_fine = jnp.where(valid, ptri_s[jnp.clip(src, 0, n - 1)], m_dummy)
+
+    spill_end = bnd[nstrips + ntilesc + 1]
+    out_sorted = jnp.where(
+        jnp.arange(n, dtype=jnp.int32) < spill_end, ptri_s, m_dummy
+    )
+    ptri_out = jnp.concatenate([out_fine, out_sorted])
+
+    t_idx = jnp.arange(ntiles, dtype=jnp.int32)
+    plain_start = b_fine + bnd[t_idx * S]
+    plain_end = b_fine + bnd[t_idx * S + S]
+    fine_start = jnp.where(balanced, tile_base[:ntiles], plain_start)
+    fine_end = jnp.where(balanced, tile_base[1:], plain_end)
+    coarse_off = b_fine + bnd[nstrips:]
+    off = jnp.concatenate(
+        [
+            jnp.stack([fine_start, fine_end], axis=1).reshape(-1),
+            coarse_off,
+        ]
+    )
+    return ptri_out, off, b_fine
+
+
 def bin_direct(tri_i32, tile: tuple[int, int], grid_hw: tuple[int, int],
                origin=(0, 0)):
     """Single-copy per-slot binning (no pair expansion) → (perm, off).
@@ -497,7 +672,7 @@ NF_SMEM_F = 16
 def _make_kernel(
     *, th: int, tw: int, chunk: int, id_base: int, n_ctx: int, epilogue=None,
     binned: bool = False, deferred: bool = False, cross_prefetch: bool = False,
-    bg_empty: int = 0, unroll: int = 1,
+    bg_empty: int = 0, unroll: int = 1, strip: bool = False, b_fine: int = 0,
 ):
     """Build the raster kernel body.
 
@@ -527,6 +702,10 @@ def _make_kernel(
     """
     if deferred:
         assert binned and n_ctx and chunk == tw, (binned, n_ctx, chunk, tw)
+    if strip:
+        # Strip-interleaved fine lists (bin_pairs_strip): deferred only,
+        # group size S = th//8 must divide the chunk.
+        assert deferred and th % 8 == 0 and chunk % (th // 8) == 0
 
     def kernel(cb_ref, origin_ref, tri_i_ref, tri_f_ref, *rest):
         wi_ref = wf_ref = sem_wi = sem_wf = None
@@ -768,6 +947,79 @@ def _make_kernel(
 
             return cand
 
+        def make_strip_cand(read_i, read_f, pair_base):
+            """(8, tw)-strip front-end: op-for-op ``make_pair_cand`` with
+            every plane restricted to row-strip ``s`` (rows 8s..8s+7 of the
+            tile). Used by the strip-decomposition path: a group of S
+            strip-candidates covers the tile with DISJOINT rows, so the
+            concatenated group plane folds into the carry with ONE merge."""
+
+            # (8, tw) coordinate planes built from fresh iotas — slicing the
+            # (th, tw) tile planes (cx[8s:8s+8]) lowers to
+            # vector_extract_strided_slice, which crashes Mosaic's
+            # ApplyVectorLayout on v5e (measured: `Check failed:
+            # limits[i] <= dim(i)`); a row-iota plus the per-strip scalar
+            # offset is also cheaper. pcy8 adds 8.0·s to the f32 plane —
+            # exact (integer-valued f32 well under 2^24).
+            cx8_ = ox + jax.lax.broadcasted_iota(jnp.int32, (8, tw), 1)
+            cy8_ = oy + jax.lax.broadcasted_iota(jnp.int32, (8, tw), 0)
+            pcx8_ = cx8_.astype(jnp.float32) + 0.5
+            pcy8_ = cy8_.astype(jnp.float32) + 0.5
+
+            def cand(t, s):
+                cx8 = cx8_
+                cy8 = cy8_ + 8 * s
+                pcx8 = pcx8_
+                pcy8 = pcy8_ + jnp.float32(8.0 * s)
+                maxx, maxy = _unpack_xy(read_i(_MAXXY, t))
+                a01, b01, c01 = (
+                    read_i(_A01, t), read_i(_B01, t), read_i(_C01, t)
+                )
+                a20, b20, c20 = (
+                    read_i(_A20, t), read_i(_B20, t), read_i(_C20, t)
+                )
+                e01 = a01 * cx8 + b01 * cy8 + c01
+                e20 = a20 * cx8 + b20 * cy8 + c20
+                e12 = read_i(_AREA2, t) - e01 - e20
+                if _COVER_FORM == "or":
+                    cover = (
+                        e01 | e12 | e20 | (maxx - 1 - cx8) | (maxy - 1 - cy8)
+                    ) >= 0
+                else:
+                    cover = (
+                        (e01 >= 0)
+                        & (e12 >= 0)
+                        & (e20 >= 0)
+                        & (cx8 < maxx)
+                        & (cy8 < maxy)
+                    )
+                s0x = read_f(_S0X, t) - pcx8
+                s0y = read_f(_S0Y, t) - pcy8
+                s1x = read_f(_S1X, t) - pcx8
+                s1y = read_f(_S1Y, t) - pcy8
+                s2x = read_f(_S2X, t) - pcx8
+                s2y = read_f(_S2Y, t) - pcy8
+                a = jnp.abs(s1x * s2y - s1y * s2x)
+                b = jnp.abs(s2x * s0y - s2y * s0x)
+                c = jnp.abs(s0x * s1y - s0y * s1x)
+                ssum = a + b + c
+                cover = cover & (ssum != 0.0)
+                inv_s = 1.0 / ssum
+                la = a * inv_s
+                lb = b * inv_s
+                lc = c * inv_s
+                rhw = (
+                    read_f(_RHW0, t) * la
+                    + read_f(_RHW1, t) * lb
+                    + read_f(_RHW2, t) * lc
+                )
+                key = jnp.where(cover, rhw, 0.0)
+                o = jnp.where(cover, read_i(_ORDER, t), ORDER_NONE)
+                w = jnp.full((8, tw), jnp.int32(0)) + (pair_base + t)
+                return key, o, w
+
+            return cand
+
         if binned:
             # Spill triangles (span > k tiles) are scanned by every tile —
             # gate their vector work per-triangle; own-range pairs are exact.
@@ -780,6 +1032,11 @@ def _make_kernel(
                 )
             )
             _make_slot_cand = lambda slot, pair_base: make_pair_cand(
+                lambda col, t: vi_ref[slot, col, t],
+                lambda col, t: vf_ref[slot, col, t],
+                pair_base,
+            )
+            _make_slot_strip_cand = lambda slot, pair_base: make_strip_cand(
                 lambda col, t: vi_ref[slot, col, t],
                 lambda col, t: vf_ref[slot, col, t],
                 pair_base,
@@ -900,13 +1157,21 @@ def _make_kernel(
             ntxc = _cdiv(ntx_g, COARSE)
             ntilesc = _cdiv(nty_g, COARSE) * ntxc
             t_lin = ty * ntx_g + tx
-            c_lin = ntiles + (ty // COARSE) * ntxc + (tx // COARSE)
-            start = cb_ref[t_lin]
-            end = cb_ref[t_lin + 1]
+            # Strip mode: TWO off entries per fine tile (start, end — the
+            # regions make shared boundaries impossible, bin_pairs_strip
+            # docstring); coarse/spill sections shift accordingly.
+            base_c = 2 * ntiles if strip else ntiles
+            c_lin = base_c + (ty // COARSE) * ntxc + (tx // COARSE)
+            if strip:
+                start = cb_ref[2 * t_lin]
+                end = cb_ref[2 * t_lin + 1]
+            else:
+                start = cb_ref[t_lin]
+                end = cb_ref[t_lin + 1]
             c_start = cb_ref[c_lin]
             c_end = cb_ref[c_lin + 1]
-            s_start = cb_ref[ntiles + ntilesc]
-            s_end = cb_ref[ntiles + ntilesc + 1]
+            s_start = cb_ref[base_c + ntilesc]
+            s_end = cb_ref[base_c + ntilesc + 1]
             c0 = start // chunk
             n_own = (end + chunk - 1) // chunk - c0
             cc0 = c_start // chunk
@@ -1025,7 +1290,36 @@ def _make_kernel(
                     and _MERGE_FORM == "tree"
                     and _DEBUG_PAIR_BODY is None
                 )
-                if use_tree:
+                use_strip_probe = (
+                    _STRIP_PROBE and deferred and th % 8 == 0
+                )
+                if use_strip_probe:
+                    # TIMING-ONLY (_STRIP_PROBE docstring): garbage output.
+                    own_cand_s = _make_slot_strip_cand(slot, pair_base)
+                    S = th // 8
+
+                    def own_loop(c):
+                        n_g = (hi - lo + S - 1) // S
+
+                        def body(j, cc):
+                            t0 = lo + j * S
+                            ks, os_, ws = [], [], []
+                            for s in range(S):
+                                k_, o_, w_ = own_cand_s(
+                                    jnp.minimum(t0 + s, hi - 1), s
+                                )
+                                ks.append(k_)
+                                os_.append(o_)
+                                ws.append(w_)
+                            cand = (
+                                jnp.concatenate(ks, 0),
+                                jnp.concatenate(os_, 0),
+                                jnp.concatenate(ws, 0),
+                            )
+                            return _merge_pair_cand(cc, cand)
+
+                        return jax.lax.fori_loop(0, n_g, body, c)
+                elif use_tree:
                     # Tree-merged unrolled own-range loop (_MERGE_FORM
                     # docstring): per-group candidates are computed with no
                     # carry dependence, tree-reduced, and folded once into
@@ -1070,6 +1364,41 @@ def _make_kernel(
                     def own_loop(c):
                         return jax.lax.fori_loop(lo, hi, own_body, c)
 
+                if strip:
+                    # Region-1 fine ranges are strip-interleaved: S pairs
+                    # per trip, pair s on row-strip s, one group merge
+                    # (disjoint rows). Region-2 (imbalanced) tiles fall
+                    # back to the plain per-pair loop above — region told
+                    # by the tile's start offset (bin_pairs_strip).
+                    own_cand_s = _make_slot_strip_cand(slot, pair_base)
+                    S = th // 8
+                    plain_own_loop = own_loop
+
+                    def strip_loop(c):
+                        n_g = (hi - lo) // S
+
+                        def body(j, cc):
+                            t0 = lo + j * S
+                            ks, os_, ws = [], [], []
+                            for s in range(S):
+                                k_, o_, w_ = own_cand_s(t0 + s, s)
+                                ks.append(k_)
+                                os_.append(o_)
+                                ws.append(w_)
+                            cand = (
+                                jnp.concatenate(ks, 0),
+                                jnp.concatenate(os_, 0),
+                                jnp.concatenate(ws, 0),
+                            )
+                            return _merge_pair_cand(cc, cand)
+
+                        return jax.lax.fori_loop(0, n_g, body, c)
+
+                    def own_loop(c):
+                        return jax.lax.cond(
+                            start < b_fine, strip_loop, plain_own_loop, c
+                        )
+
                 core = jax.lax.cond(
                     is_own,
                     own_loop,
@@ -1100,9 +1429,13 @@ def _make_kernel(
                 def _():
                     ty2 = nt // ntx_g
                     tx2 = jax.lax.rem(nt, ntx_g)
-                    c_lin2 = ntiles + (ty2 // COARSE) * ntxc + (tx2 // COARSE)
-                    start2 = cb_ref[nt]
-                    end2 = cb_ref[nt + 1]
+                    c_lin2 = base_c + (ty2 // COARSE) * ntxc + (tx2 // COARSE)
+                    if strip:
+                        start2 = cb_ref[2 * nt]
+                        end2 = cb_ref[2 * nt + 1]
+                    else:
+                        start2 = cb_ref[nt]
+                        end2 = cb_ref[nt + 1]
                     cs2 = cb_ref[c_lin2]
                     ce2 = cb_ref[c_lin2 + 1]
                     n_own2 = (end2 + chunk - 1) // chunk - start2 // chunk

@@ -141,6 +141,43 @@ def test_tree_merge_exact(u):
         raster_pallas._MERGE_FORM = old
 
 
+@pytest.mark.parametrize("tile", [(16, 128), (32, 128)])
+def test_strip_mode_exact(tile):
+    """bin_mode="strip" (strip-interleaved fragment-level pair groups,
+    raster_pallas.bin_pairs_strip) must reproduce the oracle exactly: the
+    per-pixel math is op-for-op the whole-tile body restricted to an
+    (8, 128) strip, the group candidates cover disjoint rows, and the
+    (rhw, order) merge is order/duplication-independent. Scene includes
+    mixed sizes so the coarse/spill and imbalance (region-2 plain)
+    paths all run."""
+    rng = np.random.default_rng(5)
+    cube2 = make_cube(0.7)
+    cube2["pos"] = cube2["pos"] + np.array([0.9, 0.2, 0.0], np.float32)
+    # a same-row line of tiny triangles: forces strip imbalance
+    n = 40
+    cx = np.linspace(-1.2, 1.2, n, dtype=np.float32)
+    line = {
+        "pos": np.stack(
+            [
+                np.stack([cx, np.full(n, 0.4, np.float32), np.zeros(n, np.float32)], -1),
+                np.stack([cx + 0.02, np.full(n, 0.4, np.float32), np.zeros(n, np.float32)], -1),
+                np.stack([cx, np.full(n, 0.42, np.float32), np.zeros(n, np.float32)], -1),
+            ],
+            axis=1,
+        ),
+        "uv": rng.random((n, 3, 2), np.float32),
+        "normal": np.tile(np.array([0, 0, -1], np.float32), (n, 3, 1)),
+    }
+    scene = make_phong_scene(
+        128, 96, meshes=[make_cube(), cube2, line], clip_cap=32
+    )
+    scene = dataclasses.replace(
+        scene,
+        config=dataclasses.replace(scene.config, tile=tile, bin_mode="strip"),
+    )
+    fused_vs_jnp(scene)
+
+
 def test_pair_budget_forms_exact():
     """Both pair-budget gather forms (8 uniform cond-gated segments; the
     explicit frac head + cond tail) must be exact vs the unbudgeted
