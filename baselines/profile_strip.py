@@ -54,6 +54,16 @@ def main():
             cfg = scene.config
             if form == "real":
                 cfg = dataclasses.replace(cfg, bin_mode="strip")
+            # PROFILE_TH: force a tile height (e.g. 32 to probe the S=4
+            # strip body where the S=8 Mosaic compile is pathological).
+            th_force = os.environ.get("PROFILE_TH")
+            if th_force:
+                cfg = dataclasses.replace(
+                    cfg, tile=(int(th_force), 128), tile_auto=False
+                )
+            u_force = os.environ.get("PROFILE_UNROLL")
+            if u_force:
+                cfg = dataclasses.replace(cfg, unroll_pairs=int(u_force))
 
             def frame_of(angle, vs_u, ps_u, draws, cfg=cfg):
                 model = set_rotate(jnp.asarray([0.0, 1.0, 0.0]), angle)

@@ -121,8 +121,11 @@ _COVER_FORM = _os.environ.get("FR_COVER", "or")
 # and commutative (orders are unique per tile; the clamped-tail duplicate
 # has equal keys AND equal payload, so either pick is identical), and a
 # non-covered candidate masked to the background key (0.0, ORDER_NONE)
-# can never win a strict comparison against the carry.
-_MERGE_FORM = _os.environ.get("FR_MERGE", "seq")
+# can never win a strict comparison against the carry. Default "tree"
+# (r5 paired A/B: stress4k seq:2 340.5 → tree:2 330.5 ms, identical
+# checksums; tree:4/8 lose the gain again — register pressure); unroll=1
+# configs take the plain path either way.
+_MERGE_FORM = _os.environ.get("FR_MERGE", "tree")
 
 # Strip-decomposition probe (baselines/profile_strip.py): TIMING-ONLY
 # preview of a fragment-level pair decomposition. Groups of S = th//8 pairs
