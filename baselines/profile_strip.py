@@ -49,9 +49,18 @@ def main():
             # "tile": production default. "strip": TIMING-ONLY probe body
             # (garbage output). "real": the exact strip mode end-to-end
             # (bin_mode="strip" — strip-binned interleaved pair lists;
-            # checksum must MATCH "tile").
-            raster_pallas._STRIP_PROBE = form == "strip"
+            # checksum must MATCH "tile"). A ":N" suffix on any form
+            # forces tile height N (e.g. "tile:16,tile:32,tile:64").
             cfg = scene.config
+            if ":" in form:
+                parts = form.split(":")
+                form = parts[0]
+                cfg = dataclasses.replace(
+                    cfg, tile=(int(parts[1]), 128), tile_auto=False
+                )
+                if len(parts) > 2:  # "form:th:k" — bin_k override
+                    cfg = dataclasses.replace(cfg, bin_k=int(parts[2]))
+            raster_pallas._STRIP_PROBE = form == "strip"
             if form == "real":
                 cfg = dataclasses.replace(cfg, bin_mode="strip")
             # PROFILE_TH: force a tile height (e.g. 32 to probe the S=4
@@ -64,6 +73,9 @@ def main():
             u_force = os.environ.get("PROFILE_UNROLL")
             if u_force:
                 cfg = dataclasses.replace(cfg, unroll_pairs=int(u_force))
+            k_force = os.environ.get("PROFILE_K")
+            if k_force:
+                cfg = dataclasses.replace(cfg, bin_k=int(k_force))
 
             def frame_of(angle, vs_u, ps_u, draws, cfg=cfg):
                 model = set_rotate(jnp.asarray([0.0, 1.0, 0.0]), angle)

@@ -220,7 +220,12 @@ def prep_fused_packed(
     # bboxes span ≤2 fine tiles (baselines/profile_prep.py), so k=2
     # halves the sorted keys vs k=4 while sending only ~2.6% of
     # triangles to the (bbox-gated) coarse bins.
-    k = getattr(config, "bin_k", None) or (6 if n_slots <= 300_000 else 2)
+    # Mid-size default k=4 (r5 paired ladder, textured1080 th32:
+    # k6 3.32/3.31 | k4 3.18 | k3 4.37 | k2 4.41 ms — k4 trims the bin
+    # sort + pair gather while 2x2-fine-tile spans stay exact; k<=3
+    # dumps common spans into the gated coarse path and loses 30%.
+    # phong1080/gouraud800 measured a wash (within-process drift > effect).
+    k = getattr(config, "bin_k", None) or (4 if n_slots <= 300_000 else 2)
     h_pad = _cdiv(height, th) * th
     w_pad = _cdiv(width, tw) * tw
     if m_dummy is None:
@@ -340,10 +345,12 @@ def prep_fused_packed(
         # Chunk-deferred varying interpolation (raster_pallas._make_kernel
         # docstring) needs the 128-lane in-chunk gather: chunk == tw.
         deferred=deferred_ok,
-        unroll=int(
-            getattr(config, "unroll_pairs", None)
-            or (2 if n_slots > tile_auto_threshold else 1)
-        ),
+        # unroll 2 everywhere: with the r5 tree-merge default the unrolled
+        # group front-ends are carry-independent, and paired A/Bs show
+        # tree:2 beats seq:1 at EVERY scale measured (stress4k 340.5 →
+        # 330.5, textured1080 3.53 → 3.23, phong1080 5.75 → 5.69 ms;
+        # tree:4 never better — register pressure).
+        unroll=int(getattr(config, "unroll_pairs", None) or 2),
         strip=mode == "strip",
         b_fine=b_fine,
     )
