@@ -58,7 +58,13 @@ def build_scene(name: str, backend: str):
     )
 
     if name == "cube512":
-        return make_phong_scene(512, 512, meshes=[make_cube()], backend=backend)
+        # clip_cap=16 > the cube's 12 faces: the fixed-shape clip
+        # machinery (which runs every frame regardless of need) is sized
+        # so it can NEVER drop a face on this scene — even if all 12
+        # clipped (zero do at every bench angle, measured r5).
+        return make_phong_scene(
+            512, 512, meshes=[make_cube()], clip_cap=16, backend=backend
+        )
     if name == "cube1080":
         from f_renderer_tpu.camera import Camera
 
@@ -68,9 +74,12 @@ def build_scene(name: str, backend: str):
         # throughput curve (r4 probe: flat 1152 / per-pixel phong 1026
         # Mpix/s; density, not shading, is what moves the number).
         cam = Camera.create([0.0, 0.5, 4.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+        # clip_cap=16 > the cube's 12 faces: the cap can NEVER drop a
+        # face on this scene even if every face clipped (zero do at every
+        # bench angle, measured over 20 angles r5).
         return make_phong_scene(
-            1920, 1080, meshes=[make_cube()], camera=cam, backend=backend,
-            shader="flat",
+            1920, 1080, meshes=[make_cube()], camera=cam, clip_cap=16,
+            backend=backend, shader="flat",
         )
     if name == "gouraud800":
         from f_renderer_tpu.camera import Camera

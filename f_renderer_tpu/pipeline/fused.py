@@ -209,6 +209,20 @@ def prep_fused_packed(
         # visits (r2: 16->32 measured 1.8x; r3 paired A/B: 64 beats 32,
         # 334 vs 349 ms on the 1M-tri stress scene).
         th = max(th, 64)
+    elif (
+        getattr(config, "tile_auto", True)
+        and n_slots <= 2048
+        and (th, tw) == (32, LANES)
+    ):
+        # Tiny scenes are GRID-bound, not pair-bound: at 12 triangles /
+        # 1080p the kernel's 0.7 ms was 510 near-empty (32, 128) programs
+        # of fixed per-program cost (r5 split). 128-row tiles cut the
+        # program count 4x (measured: cube1080 1.36 -> 1.30 ms / 1599
+        # Mpix/s / 101x single-core, cube512 0.89 -> 0.92 wash); the
+        # extra whole-tile vector work per pair is irrelevant at these
+        # pair counts. Applied only to the DEFAULT (32, 128) tile so an
+        # explicitly-set tile always wins.
+        th = 128
     assert tw == LANES, "fused path requires tile width 128"
     chunk = 128
     # pair-expansion cap: pair tables and the bin sort scale with
