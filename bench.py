@@ -86,18 +86,22 @@ def build_scene(name: str, backend: str):
 
         sphere = make_uv_sphere(36, 72)  # ~5.2k tris
         cam = Camera.create([0.0, 0.0, 3.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+        # clip_cap=64: zero faces clip at every bench angle (measured
+        # over 20 angles, r5) — 64 keeps margin for numerically marginal
+        # poses while shedding the default 256-slot clip machinery.
         return make_phong_scene(
-            800, 600, meshes=[sphere], camera=cam, backend=backend,
-            shader="gouraud",
+            800, 600, meshes=[sphere], camera=cam, clip_cap=64,
+            backend=backend, shader="gouraud",
         )
     if name == "textured1080":
         from f_renderer_tpu.camera import Camera
 
         sphere = make_uv_sphere(48, 96)
         cam = Camera.create([0.0, 0.0, 3.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
+        # clip_cap=64: zero faces clip at every bench angle (see gouraud800).
         return make_phong_scene(
-            1920, 1080, meshes=[sphere], camera=cam, backend=backend,
-            shader="textured",
+            1920, 1080, meshes=[sphere], camera=cam, clip_cap=64,
+            backend=backend, shader="textured",
         )
     if name == "phong1080":
         from f_renderer_tpu.camera import Camera
@@ -110,9 +114,11 @@ def build_scene(name: str, backend: str):
         cam = Camera.create([0.0, 0.5, 4.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
         # Three distinct 512² diffuse maps — the reference's phong.rs uses
         # three character TGA textures at realistic sizes (phong.rs:166-171).
+        # clip_cap=64: zero faces clip at every bench angle (see gouraud800).
         return make_phong_scene(
             1920,
             1080,
+            clip_cap=64,
             meshes=[sphere, cube, cube2],
             textures=[
                 make_checker_texture(512, 32),
