@@ -1018,7 +1018,7 @@ def _make_kernel(
                 )
                 key = jnp.where(cover, rhw, 0.0)
                 o = jnp.where(cover, read_i(_ORDER, t), ORDER_NONE)
-                w = jnp.full((8, tw), jnp.int32(0)) + (pair_base + t)
+                w = jnp.full((8, tw), pair_base + t, jnp.int32)
                 return key, o, w
 
             return cand
