@@ -58,10 +58,9 @@ def build_scene(name: str, backend: str):
     )
 
     if name == "cube512":
-        # clip_cap=16 > the cube's 12 faces: the fixed-shape clip
-        # machinery (which runs every frame regardless of need) is sized
-        # so it can NEVER drop a face on this scene — even if all 12
-        # clipped (zero do at every bench angle, measured r5).
+        # clip_cap=16 > the cube's 12 faces, so the cap can NEVER drop
+        # a face on this scene (this close-up camera does clip up to 10
+        # faces at the bench angles — measured r5 — all within cap).
         return make_phong_scene(
             512, 512, meshes=[make_cube()], clip_cap=16, backend=backend
         )
@@ -75,8 +74,8 @@ def build_scene(name: str, backend: str):
         # Mpix/s; density, not shading, is what moves the number).
         cam = Camera.create([0.0, 0.5, 4.0], [0.0, 0.0, 0.0], [0.0, 1.0, 0.0])
         # clip_cap=16 > the cube's 12 faces: the cap can NEVER drop a
-        # face on this scene even if every face clipped (zero do at every
-        # bench angle, measured over 20 angles r5).
+        # face even if every face clipped (this camera clips zero at
+        # every bench angle — measured over 20 angles r5).
         return make_phong_scene(
             1920, 1080, meshes=[make_cube()], camera=cam, clip_cap=16,
             backend=backend, shader="flat",
